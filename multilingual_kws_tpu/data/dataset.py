@@ -1,0 +1,254 @@
+"""AudioDataset: host file loading + on-device augmentation/featurization.
+
+TPU-first re-design of the reference AudioDataset (input_data.py:173-556).
+The host side handles file IO, label vocab and batch composition (which
+slots become silence / unknown substitutions); a single jitted device
+function does timeshift, background mixing, micro-spectrogram featurization
+and SpecAugment for the whole batch.
+
+Label ordering contract preserved exactly (input_data.py:196-206):
+[_silence_, _unknown_, word1, word2, ...] — unknown prepended first, then
+silence, so the final order is [silence, unknown, words...] when both are
+enabled.
+"""
+
+from __future__ import annotations
+
+import functools
+import glob
+import os
+from dataclasses import dataclass, replace
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.augment import AugmentParams, SpecAugParams, augment_waveforms, spec_augment
+from ..ops.micro_jax import MicroFrontendJax
+from ..ops.micro_exact import FrontendConfig
+from ..settings import (
+    SILENCE_LABEL,
+    UNKNOWN_WORD_LABEL,
+    ModelSettings,
+)
+from ..utils.wav import read_wav
+
+
+def load_background_bank(background_dir) -> Tuple[np.ndarray, np.ndarray]:
+    """All background wavs into one padded array (reference
+    get_background_data, input_data.py:375-394)."""
+    paths = sorted(glob.glob(os.path.join(str(background_dir), "*.wav")))
+    if not paths:
+        raise FileNotFoundError(f"no background wavs in {background_dir}")
+    wavs = [read_wav(p)[0] for p in paths]
+    sizes = np.array([w.shape[0] for w in wavs], dtype=np.int32)
+    bank = np.zeros((len(wavs), sizes.max()), dtype=np.float32)
+    for i, w in enumerate(wavs):
+        bank[i, : w.shape[0]] = w
+    return bank, sizes
+
+
+class AudioDataset:
+    """Few-shot / pretraining dataset with on-device augmentation.
+
+    Parameters mirror the reference constructor (input_data.py:174-213).
+    """
+
+    def __init__(
+        self,
+        model_settings: ModelSettings,
+        commands: Sequence[str],
+        background_data_dir,
+        unknown_files: Sequence[str],
+        time_shift_ms: int = 100,
+        background_frequency: float = 0.8,
+        background_volume_range: float = 0.1,
+        silence_percentage: float = 10.0,
+        unknown_percentage: float = 10.0,
+        spec_aug_params: SpecAugParams = SpecAugParams(),
+        seed: Optional[int] = None,
+        frontend: Optional[MicroFrontendJax] = None,
+    ):
+        self.model_settings = model_settings
+        self.unknown_files = list(unknown_files)
+        self.unknown_percentage = unknown_percentage
+        self.silence_percentage = silence_percentage
+
+        commands = list(commands)
+        if len(self.unknown_files) > 0 and unknown_percentage > 0:
+            commands = [UNKNOWN_WORD_LABEL] + commands
+        if silence_percentage > 0:
+            commands = [SILENCE_LABEL] + commands
+        self.commands = commands
+        self.label_to_id = {c: i for i, c in enumerate(commands)}
+
+        bank, sizes = load_background_bank(background_data_dir)
+        self.bg_data = jnp.asarray(bank)
+        self.bg_sizes = jnp.asarray(sizes)
+
+        self.aug_params = AugmentParams(
+            time_shift_samples=int(
+                time_shift_ms * model_settings.sample_rate / 1000
+            ),
+            background_frequency=background_frequency,
+            background_volume_range=background_volume_range,
+            spec_aug=spec_aug_params,
+        )
+        self.frontend = frontend or MicroFrontendJax(
+            FrontendConfig(
+                sample_rate=model_settings.sample_rate,
+                window_size_ms=int(model_settings.window_size_ms),
+                window_step_ms=int(model_settings.window_stride_ms),
+                num_channels=model_settings.fingerprint_width,
+            )
+        )
+
+        seed_val = seed if seed is not None else np.random.SeedSequence().entropy % (2**31)
+        self.host_rng = np.random.default_rng(seed_val)
+        self.key = jax.random.PRNGKey(seed_val % (2**31))
+        self._wav_cache: Dict[str, np.ndarray] = {}
+
+        self._train_device_fn = jax.jit(self._train_device)
+        self._eval_device_fn = jax.jit(self._eval_device)
+
+    # -- device functions -----------------------------------------------------
+
+    def _train_device(self, key, waveforms, is_silence):
+        k_aug, k_spec = jax.random.split(key)
+        wav = augment_waveforms(
+            k_aug, waveforms, is_silence, self.bg_data, self.bg_sizes,
+            self.aug_params,
+        )
+        specs = self.frontend.features(wav)
+        specs = spec_augment(k_spec, specs, self.aug_params.spec_aug)
+        return specs[..., None]  # add channel dim
+
+    def _eval_device(self, waveforms):
+        return self.frontend.features(waveforms)[..., None]
+
+    # -- host helpers -----------------------------------------------------------
+
+    def _load(self, path: str) -> np.ndarray:
+        cached = self._wav_cache.get(path)
+        if cached is None:
+            cached, _ = read_wav(
+                path, desired_samples=self.model_settings.desired_samples
+            )
+            if len(self._wav_cache) < 4096:
+                self._wav_cache[path] = cached
+        return cached
+
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    # -- public pipelines --------------------------------------------------------
+
+    def train_batches(
+        self,
+        files: Sequence[str],
+        batch_size: int,
+        num_steps: int,
+        labels: Optional[Sequence[str]] = None,
+        single_target: bool = True,
+    ) -> Iterator[Tuple[jnp.ndarray, jnp.ndarray]]:
+        """Infinite-shuffle training batches: yields (specs (B,T,F,1), label_ids).
+
+        single_target=True mimics init_single_target (label = last command,
+        input_data.py:447-471); otherwise labels come from the parallel
+        ``labels`` list (init_from_parent_dir semantics).
+        """
+        files = list(files)
+        if labels is None:
+            label_ids = np.full(len(files), len(self.commands) - 1, dtype=np.int32)
+        else:
+            label_ids = np.array(
+                [self.label_to_id[l] for l in labels], dtype=np.int32
+            )
+
+        n = self.model_settings.desired_samples
+        sil_id = self.label_to_id.get(SILENCE_LABEL, -1)
+        unk_id = self.label_to_id.get(UNKNOWN_WORD_LABEL, -1)
+        p_sil = self.silence_percentage / 100.0
+        p_unk = self.unknown_percentage / 100.0 if self.unknown_files else 0.0
+
+        order = self.host_rng.permutation(len(files))
+        cursor = 0
+        for _ in range(num_steps):
+            batch_wav = np.zeros((batch_size, n), dtype=np.float32)
+            batch_lbl = np.zeros(batch_size, dtype=np.int32)
+            batch_sil = np.zeros(batch_size, dtype=bool)
+            for i in range(batch_size):
+                if cursor >= len(order):
+                    order = self.host_rng.permutation(len(files))
+                    cursor = 0
+                fidx = order[cursor]
+                cursor += 1
+                # sequential substitution probs, reference augment()
+                # (input_data.py:284-298)
+                if self.host_rng.uniform() < p_sil:
+                    batch_sil[i] = True
+                    batch_lbl[i] = sil_id
+                elif p_unk > 0 and self.host_rng.uniform() < p_unk:
+                    upath = self.unknown_files[
+                        self.host_rng.integers(len(self.unknown_files))
+                    ]
+                    batch_wav[i] = self._load(upath)
+                    batch_lbl[i] = unk_id
+                else:
+                    batch_wav[i] = self._load(files[fidx])
+                    batch_lbl[i] = label_ids[fidx]
+            specs = self._train_device_fn(
+                self._next_key(), jnp.asarray(batch_wav), jnp.asarray(batch_sil)
+            )
+            yield specs, jnp.asarray(batch_lbl)
+
+    def eval_batches(
+        self,
+        files: Sequence[str],
+        batch_size: int,
+        labels: Optional[Sequence[str]] = None,
+        single_target: bool = True,
+        with_silence_unknown: bool = False,
+    ) -> Iterator[Tuple[jnp.ndarray, jnp.ndarray]]:
+        """Deterministic eval batches (no augmentation). Optionally appends
+        synthetic silence/unknown eval examples like eval_with_silence_unknown
+        (input_data.py:521-556). Pads the final partial batch by repeating
+        the first file (mask via returned labels length if needed)."""
+        files = list(files)
+        if labels is None:
+            label_ids = [len(self.commands) - 1] * len(files)
+        else:
+            label_ids = [self.label_to_id[l] for l in labels]
+
+        n = self.model_settings.desired_samples
+        entries: List[Tuple[np.ndarray, int]] = [
+            (self._load(f), label_ids[i]) for i, f in enumerate(files)
+        ]
+        if with_silence_unknown:
+            n_sil = int(len(files) * self.silence_percentage / 100)
+            n_unk = int(len(files) * self.unknown_percentage / 100)
+            bgd = np.asarray(self.bg_data)
+            bgs = np.asarray(self.bg_sizes)
+            for _ in range(n_sil):
+                bi = self.host_rng.integers(len(bgs))
+                off = self.host_rng.integers(max(bgs[bi] - n, 1))
+                vol = self.host_rng.uniform()
+                entries.append(
+                    (bgd[bi, off : off + n] * vol, self.label_to_id[SILENCE_LABEL])
+                )
+            for _ in range(n_unk):
+                upath = self.unknown_files[
+                    self.host_rng.integers(len(self.unknown_files))
+                ]
+                entries.append(
+                    (self._load(upath), self.label_to_id[UNKNOWN_WORD_LABEL])
+                )
+
+        for i in range(0, len(entries), batch_size):
+            chunk = entries[i : i + batch_size]
+            wav = np.stack([c[0] for c in chunk])
+            lbl = np.array([c[1] for c in chunk], dtype=np.int32)
+            yield self._eval_device_fn(jnp.asarray(wav)), jnp.asarray(lbl)

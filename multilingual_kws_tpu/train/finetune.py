@@ -1,0 +1,231 @@
+"""Few-shot transfer learning — the reference transfer_learn equivalent.
+
+Reference: multilingual_kws/embedding/transfer_learning.py:14-123. Loads the
+pretrained embedding (trunk + embedding head), freezes it, trains the tiny
+18-tanh -> 3-softmax head on a single-target AudioDataset (unknown% 50,
+SpecAug 80%), optionally "backprop into embedding" phase 2 at a lower LR.
+
+Defaults mirror run.py train (run.py:212-300): 4 epochs x 1 batch x bs 64,
+LR 1e-3, UNKNOWN_PERCENTAGE 50.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.dataset import AudioDataset
+from ..models.kws_model import make_transfer_model
+from ..ops.augment import SpecAugParams
+from ..settings import ModelSettings, standard_microspeech_model_settings
+from .steps import make_finetune_step
+from . import checkpoints as ckpt
+from .metrics import CSVLogger
+
+
+HEAD_PREFIX = "transfer_head"
+
+
+def _head_only(path: Tuple[str, ...]) -> bool:
+    return path[0] == HEAD_PREFIX
+
+
+def _head_and_top(path: Tuple[str, ...]) -> bool:
+    """Phase-2 unfreezing: head + embedding head + trunk top conv, excluding
+    BatchNorm (reference transfer_learning.py:94-99 unfreezes the top layers
+    while leaving BN frozen)."""
+    if path[0] == HEAD_PREFIX or path[0] == "embedding_head":
+        return True
+    if path[0] == "trunk" and path[1] == "top":
+        return "bn" not in path
+    return False
+
+
+@dataclass
+class FinetuneResult:
+    name: str
+    state: object  # TrainState
+    model: object  # flax module
+    details: Dict
+    dataset: AudioDataset
+
+    def variables(self) -> Dict:
+        cols = {"params": self.state.params}
+        if self.state.batch_stats is not None:
+            cols["batch_stats"] = self.state.batch_stats
+        return cols
+
+    def predict_fn(self):
+        """Jitted (B, 49, 40, 1) -> (B, 3) softmax predictor."""
+        variables = self.variables()
+        model = self.model
+        return jax.jit(lambda specs: model.apply(variables, specs, train=False))
+
+
+def transfer_learn(
+    target: str,
+    train_files: Sequence[str],
+    val_files: Sequence[str],
+    unknown_files: Sequence[str],
+    num_epochs: int = 4,
+    num_batches: int = 1,
+    batch_size: int = 64,
+    primary_lr: float = 1e-3,
+    backprop_into_embedding: bool = False,
+    embedding_lr: float = 0.0,
+    model_settings: Optional[ModelSettings] = None,
+    base_model_path=None,
+    unknown_percentage: float = 50.0,
+    bg_datadir=None,
+    csvlog_dest=None,
+    seed: Optional[int] = None,
+    verbose: int = 1,
+    base_params=None,
+    base_batch_stats=None,
+    model=None,
+) -> FinetuneResult:
+    """Few-shot fine-tune of `target`. Returns (name, state, details) wrapper.
+
+    base_model_path: checkpoint directory of a pretrained embedding model
+    (orbax); alternatively pass its params directly via base_params.
+    model: optional KWSTransferModel override (e.g. a narrower trunk).
+    """
+    model_settings = model_settings or standard_microspeech_model_settings(3)
+    model = model or make_transfer_model(num_categories=3)
+
+    # init with dummy input, then overwrite trunk/embedding from base model
+    rng = jax.random.PRNGKey(seed if seed is not None else 0)
+    dummy = jnp.zeros(
+        (1, model_settings.spectrogram_length, model_settings.fingerprint_width, 1),
+        jnp.float32,
+    )
+    variables = model.init(rng, dummy, train=False)
+    params = dict(variables["params"])
+    batch_stats = variables.get("batch_stats")
+
+    if base_params is None and base_model_path is not None:
+        base = ckpt.load_embedding_variables(base_model_path)
+        base_params = base["params"]
+        base_batch_stats = base.get("batch_stats")
+    if base_params is not None:
+        params["trunk"] = base_params["trunk"]
+        params["embedding_head"] = base_params["embedding_head"]
+    if base_batch_stats is not None and batch_stats is not None:
+        batch_stats = dict(batch_stats)
+        batch_stats["trunk"] = base_batch_stats["trunk"]
+
+    dataset = AudioDataset(
+        model_settings=model_settings,
+        commands=[target],
+        background_data_dir=bg_datadir,
+        unknown_files=unknown_files,
+        unknown_percentage=unknown_percentage,
+        spec_aug_params=SpecAugParams(percentage=80),
+        seed=seed,
+    )
+
+    if base_params is None and batch_stats is not None:
+        # Fresh (un-pretrained) trunk: its BN running stats are the init
+        # values and normalize nothing. Calibrate them to data moments so
+        # frozen-BN inference-mode training still sees normalized features.
+        from .steps import calibrate_batch_stats
+
+        calib = [
+            specs
+            for specs, _ in dataset.train_batches(
+                train_files, batch_size=min(batch_size, 64), num_steps=2
+            )
+        ]
+        variables = calibrate_batch_stats(
+            model, {"params": params, "batch_stats": batch_stats}, calib
+        )
+        batch_stats = variables["batch_stats"]
+
+    logger = CSVLogger(csvlog_dest) if csvlog_dest else None
+
+    def run_phase(params, lr, trainable):
+        init_state, step, evaluate, predict = make_finetune_step(
+            model, lr, trainable
+        )
+        state = init_state({"params": params, "batch_stats": batch_stats})
+        # reference quirk kept: steps_per_epoch = batch_size * num_batches
+        # (transfer_learning.py:86-93)
+        steps_per_epoch = batch_size * num_batches
+        history = {"val_accuracy": [], "val_loss": [], "accuracy": [], "loss": []}
+        for epoch in range(num_epochs):
+            t0 = time.time()
+            metrics = {}
+            batches = dataset.train_batches(
+                train_files, batch_size=batch_size, num_steps=steps_per_epoch
+            )
+            losses, accs = [], []
+            for specs, labels in batches:
+                state, metrics = step(state, specs, labels)
+                losses.append(metrics["loss"])
+                accs.append(metrics["accuracy"])
+            val = evaluate_dataset(evaluate, state, dataset, val_files, batch_size)
+            ep = {
+                "epoch": epoch,
+                "loss": float(np.mean([float(l) for l in losses])),
+                "accuracy": float(np.mean([float(a) for a in accs])),
+                "val_loss": val["loss"],
+                "val_accuracy": val["accuracy"],
+            }
+            for k in ("loss", "accuracy", "val_loss", "val_accuracy"):
+                history[k].append(ep[k])
+            if logger:
+                logger.log(ep)
+            if verbose:
+                print(
+                    f"epoch {epoch+1}/{num_epochs} loss={ep['loss']:.4f} "
+                    f"acc={ep['accuracy']:.4f} val_acc={ep['val_accuracy']:.4f} "
+                    f"({time.time()-t0:.1f}s)",
+                    flush=True,
+                )
+        return state, history, predict, evaluate
+
+    state, history, predict, evaluate = run_phase(params, primary_lr, _head_only)
+
+    if backprop_into_embedding:
+        state, history, predict, evaluate = run_phase(
+            state.params, embedding_lr, _head_and_top
+        )
+
+    va = history["val_accuracy"][-1]
+    name = (
+        f"xfer_epochs_{num_epochs}_bs_{batch_size}_nbs_{num_batches}"
+        f"_val_acc_{va:0.2f}_target_{target}"
+    )
+    details = dict(
+        num_epochs=num_epochs,
+        batch_size=batch_size,
+        num_batches=num_batches,
+        val_accuracy=va,
+        target=target,
+    )
+    return FinetuneResult(
+        name=name, state=state, model=model, details=details, dataset=dataset
+    )
+
+
+def evaluate_dataset(evaluate_fn, state, dataset: AudioDataset, files, batch_size):
+    """Weighted-mean metrics over eval batches."""
+    tot_n = 0
+    tot_loss = 0.0
+    tot_acc = 0.0
+    for specs, labels in dataset.eval_batches(files, batch_size=batch_size):
+        m = evaluate_fn(state, specs, labels)
+        n = labels.shape[0]
+        tot_n += n
+        tot_loss += float(m["loss"]) * n
+        tot_acc += float(m["accuracy"]) * n
+    if tot_n == 0:
+        return {"loss": float("nan"), "accuracy": float("nan")}
+    return {"loss": tot_loss / tot_n, "accuracy": tot_acc / tot_n}

@@ -1,0 +1,263 @@
+"""Embedding-model pretraining: data-parallel over the TPU mesh.
+
+Reference: train_monolingual_embedding.py / train_multilingual_embedding.py
+(single-GPU Keras fit with ModelCheckpoint/CSVLogger). Here: global batch
+sharded over the mesh "data" axis, one jitted train step with replicated
+params (XLA inserts the gradient all-reduce over ICI from the sharding
+annotations), orbax best-val checkpointing, CSV metrics.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..data.dataset import AudioDataset
+from ..data.manifests import label_from_parent_dir
+from ..models.kws_model import make_embedding_model
+from ..ops.augment import SpecAugParams
+from ..parallel import mesh as meshlib
+from ..settings import ModelSettings, standard_microspeech_model_settings
+from .checkpoints import BestValCheckpoint
+from .metrics import CSVLogger, save_history
+from .steps import TrainState, adam, sparse_ce_from_logits
+
+
+@dataclass
+class PretrainConfig:
+    """Defaults mirror train_multilingual_embedding.py:40-55 (batch 64,
+    silence% 1 for multilingual; monolingual used silence% 10/unknown% 10)."""
+
+    num_labels: int = 761
+    batch_size: int = 64
+    num_epochs: int = 40
+    learning_rate: float = 1e-3
+    silence_percentage: float = 1.0
+    unknown_percentage: float = 0.0
+    shuffle_seed: int = 0
+    csvlog_dest: Optional[str] = None
+    checkpoint_dir: Optional[str] = None
+    history_dest: Optional[str] = None
+    steps_per_epoch: Optional[int] = None  # default: len(train)//batch
+    # BN re-estimation before each validation pass: with momentum 0.99 the
+    # EMA needs ~500 steps to converge, so short runs would evaluate (and
+    # checkpoint) with stale running stats. 0 disables.
+    bn_calibration_batches: int = 2
+
+
+def build_pretrain_step(model, tx, mesh):
+    """Returns (init_fn, step_fn, eval_fn) jitted over the mesh: params
+    replicated, batch sharded on the data axis."""
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P(meshlib.DATA_AXIS))
+
+    def loss_fn(params, batch_stats, specs, labels, dropout_key):
+        logits, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            specs,
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": dropout_key},
+        )
+        loss = sparse_ce_from_logits(logits, labels).mean()
+        acc = (jnp.argmax(logits, -1) == labels).mean()
+        return loss, (acc, mutated["batch_stats"])
+
+    @jax.jit
+    def init_fn(variables):
+        return TrainState(
+            params=variables["params"],
+            opt_state=tx.init(variables["params"]),
+            batch_stats=variables["batch_stats"],
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    @jax.jit
+    def step_fn(state: TrainState, specs, labels, dropout_key):
+        (loss, (acc, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, specs, labels, dropout_key)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params, opt_state, new_stats, state.step + 1)
+        # keep replicated sharding stable across steps
+        new_state = jax.lax.with_sharding_constraint(
+            new_state, jax.tree_util.tree_map(lambda _: repl, new_state)
+        )
+        return new_state, {"loss": loss, "accuracy": acc}
+
+    @jax.jit
+    def eval_fn(state: TrainState, specs, labels):
+        logits = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            specs,
+            train=False,
+        )
+        loss = sparse_ce_from_logits(logits, labels).mean()
+        correct = (jnp.argmax(logits, -1) == labels).sum()
+        return loss * labels.shape[0], correct
+
+    return init_fn, step_fn, eval_fn
+
+
+def pretrain(
+    train_files: Sequence[str],
+    val_files: Sequence[str],
+    commands: Sequence[str],
+    background_data_dir,
+    unknown_files: Sequence[str] = (),
+    config: PretrainConfig = PretrainConfig(),
+    mesh=None,
+    model_settings: Optional[ModelSettings] = None,
+    resume_params=None,
+    verbose: int = 1,
+    model=None,
+):
+    """Data-parallel pretraining loop. Labels from parent dir names
+    (init_from_parent_dir semantics, input_data.py:473-508)."""
+    mesh = mesh or meshlib.make_mesh()
+    n_dev = mesh.devices.size
+    model_settings = model_settings or standard_microspeech_model_settings(
+        config.num_labels
+    )
+
+    dataset = AudioDataset(
+        model_settings=model_settings,
+        commands=list(commands),
+        background_data_dir=background_data_dir,
+        unknown_files=list(unknown_files),
+        silence_percentage=config.silence_percentage,
+        unknown_percentage=config.unknown_percentage,
+        spec_aug_params=SpecAugParams(percentage=80),
+        seed=config.shuffle_seed,
+    )
+    num_labels = len(dataset.commands)
+    model = model or make_embedding_model(num_labels)
+
+    rng = jax.random.PRNGKey(config.shuffle_seed)
+    dummy = jnp.zeros(
+        (1, model_settings.spectrogram_length, model_settings.fingerprint_width, 1),
+        jnp.float32,
+    )
+    variables = model.init(rng, dummy, train=False)
+    if resume_params is not None:
+        variables = {**variables, **resume_params}
+
+    tx = adam(config.learning_rate)
+    init_fn, step_fn, eval_fn = build_pretrain_step(model, tx, mesh)
+
+    with mesh:
+        state = init_fn(meshlib.replicate(mesh, variables))
+
+    train_labels = [label_from_parent_dir(f) for f in train_files]
+    val_labels = [label_from_parent_dir(f) for f in val_files]
+
+    logger = CSVLogger(config.csvlog_dest) if config.csvlog_dest else None
+    ckpt = (
+        BestValCheckpoint(config.checkpoint_dir) if config.checkpoint_dir else None
+    )
+    history: Dict[str, List[float]] = {
+        "loss": [], "accuracy": [], "val_loss": [], "val_accuracy": []
+    }
+
+    steps_per_epoch = config.steps_per_epoch or max(
+        1, len(train_files) // config.batch_size
+    )
+    key = jax.random.PRNGKey(config.shuffle_seed + 1)
+
+    with mesh:
+        for epoch in range(config.num_epochs):
+            t0 = time.time()
+            losses, accs = [], []
+            for specs, labels in dataset.train_batches(
+                train_files,
+                batch_size=config.batch_size,
+                num_steps=steps_per_epoch,
+                labels=train_labels,
+                single_target=False,
+            ):
+                key, sub = jax.random.split(key)
+                specs = meshlib.shard_batch(mesh, np.asarray(specs))
+                labels = meshlib.shard_batch(mesh, np.asarray(labels))
+                state, m = step_fn(state, specs, labels, sub)
+                losses.append(m["loss"])
+                accs.append(m["accuracy"])
+
+            if config.bn_calibration_batches > 0:
+                from .steps import calibrate_batch_stats
+
+                calib = [
+                    specs
+                    for specs, _ in dataset.train_batches(
+                        train_files,
+                        batch_size=config.batch_size,
+                        num_steps=config.bn_calibration_batches,
+                        labels=train_labels,
+                        single_target=False,
+                    )
+                ]
+                calibrated = calibrate_batch_stats(
+                    model,
+                    {"params": state.params, "batch_stats": state.batch_stats},
+                    calib,
+                )
+                state = state.replace(
+                    batch_stats=meshlib.replicate(
+                        mesh, calibrated["batch_stats"]
+                    )
+                )
+
+            # validation
+            tot, loss_sum, correct = 0, 0.0, 0
+            for specs, labels in dataset.eval_batches(
+                val_files, batch_size=config.batch_size, labels=val_labels,
+                single_target=False,
+            ):
+                sp, real = meshlib.pad_to_multiple(np.asarray(specs), n_dev)
+                lb, _ = meshlib.pad_to_multiple(np.asarray(labels), n_dev)
+                sp = meshlib.shard_batch(mesh, sp)
+                lb = meshlib.shard_batch(mesh, lb)
+                l, c = eval_fn(state, sp, lb)
+                # padded entries replicate real ones; rescale by real count
+                frac = real / lb.shape[0]
+                loss_sum += float(l) * frac
+                correct += float(c) * frac
+                tot += real
+            ep = {
+                "epoch": epoch,
+                "loss": float(np.mean([float(x) for x in losses])),
+                "accuracy": float(np.mean([float(x) for x in accs])),
+                "val_loss": loss_sum / max(tot, 1),
+                "val_accuracy": correct / max(tot, 1),
+            }
+            for k in history:
+                history[k].append(ep[k])
+            if logger:
+                logger.log(ep)
+            if ckpt:
+                ckpt.update(
+                    ep,
+                    state.params,
+                    state.batch_stats,
+                    extra_meta={"epoch": epoch, "num_labels": num_labels,
+                                "commands": list(dataset.commands)},
+                )
+            if verbose:
+                print(
+                    f"epoch {epoch+1}/{config.num_epochs} "
+                    f"loss={ep['loss']:.4f} acc={ep['accuracy']:.4f} "
+                    f"val_acc={ep['val_accuracy']:.4f} ({time.time()-t0:.1f}s)",
+                    flush=True,
+                )
+
+    if config.history_dest:
+        save_history(history, config.history_dest)
+    return state, model, history, dataset

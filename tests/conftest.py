@@ -1,20 +1,41 @@
 """Test config: force JAX onto a virtual 8-device CPU mesh.
 
-Multi-device sharding tests run on CPU via
---xla_force_host_platform_device_count (the standard fake-backend trick);
-the real TPU path is exercised by bench.py / __graft_entry__.py.
+Multi-device sharding tests run on CPU via the standard fake-backend trick
+(8 virtual host devices); the real TPU path is exercised by bench.py /
+__graft_entry__.py.
+
+NOTE: the ambient environment registers an experimental TPU-tunnel PJRT
+plugin ("axon") from sitecustomize at interpreter start, which (a) bakes
+JAX_PLATFORMS=axon into jax's config before this file runs, and (b) blocks
+for minutes on tunnel claim if initialized. So we must use
+jax.config.update (not os.environ) AND deregister the plugin factory.
 """
 
 import os
 import sys
 from pathlib import Path
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+# NOTE: deliberately no persistent compilation cache here — XLA:CPU AOT
+# artifacts are machine-feature-pinned and reloading them across differing
+# feature detection triggers "could lead to SIGILL" loads (observed locally).
+try:
+    jax.config.update("jax_num_cpu_devices", 8)
+except Exception:
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
+try:  # drop the tunnel-backed TPU plugin so it can never be initialized
+    import jax._src.xla_bridge as _xb
+
+    _xb._backend_factories.pop("axon", None)
+except Exception:
+    pass
 
 REPO_ROOT = Path(__file__).resolve().parents[1]
 if str(REPO_ROOT) not in sys.path:

@@ -1,0 +1,145 @@
+"""Shared synthetic-corpus fixtures for integration tests.
+
+Builds tiny deterministic keyword corpora: each "keyword" is a distinct
+modulated tone, so a small model can separate them in a few steps. Mirrors
+the reference's synthetic-stream validation recipe (SURVEY.md section 4).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from multilingual_kws_tpu.utils.wav import write_wav
+
+SR = 16000
+
+
+# Each synthetic "keyword" is a sequence of tone segments (fake phonemes).
+# The micro frontend's noise-reduction/PCAN stages SUPPRESS stationary
+# signals (they adapt steady tones into the noise estimate), so keyword
+# fixtures must be non-stationary like real speech to stay separable.
+KEYWORD_SEGMENTS = {
+    "alpha": [(350.0, 0.18), (700.0, 0.18), (450.0, 0.18)],
+    "bravo": [(1600.0, 0.14), (900.0, 0.22), (1900.0, 0.16)],
+    "charlie": [(2800.0, 0.12), (2200.0, 0.12), (3300.0, 0.14), (2500.0, 0.14)],
+}
+KEYWORD_FREQS = {"alpha": 400.0, "bravo": 1200.0, "charlie": 2800.0}  # legacy
+
+
+def keyword_clip(word: str, seed: int, noise: float = 0.003):
+    """A 1 s clip of the synthetic keyword with per-"speaker" variation:
+    +-4% segment pitch, +-15% durations, random utterance onset, amplitude
+    envelope per segment."""
+    rng = np.random.default_rng(seed)
+    segs = KEYWORD_SEGMENTS[word]
+    pieces = []
+    for freq, dur in segs:
+        f = freq * (1 + rng.uniform(-0.04, 0.04))
+        d = dur * (1 + rng.uniform(-0.15, 0.15))
+        n = int(d * SR)
+        t = np.arange(n) / SR
+        env = np.sin(np.pi * np.minimum(t / max(d, 1e-3), 1.0)) ** 0.5  # fade in/out
+        amp = 0.35 * (1 + rng.uniform(-0.2, 0.2))
+        pieces.append(amp * env * np.sin(2 * np.pi * f * t + rng.uniform(0, 2 * np.pi)))
+    sig = np.concatenate(pieces)
+    if sig.shape[0] > SR:
+        sig = sig[:SR]
+    onset = rng.integers(0, max(SR - sig.shape[0], 1))
+    x = np.zeros(SR, np.float32)
+    x[onset : onset + sig.shape[0]] = sig
+    x = x + rng.normal(0, noise, SR)
+    return np.clip(x, -1, 1).astype(np.float32)
+
+
+def tone_clip(freq: float, seed: int, am: float = 3.0, noise: float = 0.02):
+    """Legacy steady-tone clip (kept for frontend-level tests; NOT separable
+    after the micro frontend's stationary-signal suppression)."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(SR) / SR
+    phase = rng.uniform(0, 2 * np.pi)
+    f = freq * (1 + rng.uniform(-0.03, 0.03))
+    x = 0.4 * np.sin(2 * np.pi * f * t + phase) * (1 + 0.5 * np.sin(2 * np.pi * am * t))
+    x = x + rng.normal(0, noise, SR)
+    return np.clip(x, -1, 1).astype(np.float32)
+
+
+def make_corpus(root: Path, clips_per_word: int = 12):
+    """Creates root/{word}/{i}.wav, root/_background_noise_/*.wav and
+    root/unknown/unknown_files.txt. Returns dict of file lists."""
+    root = Path(root)
+    rng = np.random.default_rng(99)
+    out = {}
+    import zlib
+
+    for w in KEYWORD_SEGMENTS:
+        files = []
+        for i in range(clips_per_word):
+            p = root / w / f"{w}_{i}.wav"
+            # zlib.crc32: deterministic across processes (unlike hash())
+            write_wav(p, keyword_clip(w, seed=zlib.crc32(f"{w}_{i}".encode())))
+            files.append(str(p))
+        out[w] = files
+
+    bg_dir = root / "_background_noise_"
+    for i in range(2):
+        noise = rng.normal(0, 0.05, 3 * SR).astype(np.float32).clip(-1, 1)
+        write_wav(bg_dir / f"noise_{i}.wav", noise)
+    out["bg_dir"] = str(bg_dir)
+
+    unk_dir = root / "unknown"
+    unk_files = []
+    for i in range(8):
+        p = unk_dir / f"unk_{i}.wav"
+        # broadband chirps as unknowns
+        t = np.arange(SR) / SR
+        f0 = 500 + 300 * i
+        x = 0.3 * np.sin(2 * np.pi * (f0 + 1500 * t) * t)
+        write_wav(p, np.clip(x + rng.normal(0, 0.02, SR), -1, 1))
+        unk_files.append(f"unk_{i}.wav")
+    # other-keyword tones as unknowns too (the reference's unknowns are
+    # diverse OOV *words* — without tone unknowns a tone-vs-chirp decision
+    # boundary would call every tone "target")
+    for j, w in enumerate(["bravo", "charlie"]):
+        for i in range(4):
+            p = unk_dir / f"unk_{w}_{i}.wav"
+            write_wav(p, keyword_clip(w, seed=7000 + 100 * j + i))
+            unk_files.append(f"unk_{w}_{i}.wav")
+    (unk_dir / "unknown_files.txt").write_text("\n".join(unk_files) + "\n")
+    out["unknown_dir"] = str(unk_dir)
+    out["unknown_files"] = [str(unk_dir / f) for f in unk_files]
+    return out
+
+
+def tiny_transfer_model():
+    """A narrow EfficientNet transfer model that compiles fast on 1-core CPU."""
+    from multilingual_kws_tpu.models.efficientnet import BlockArgs, EfficientNet
+    from multilingual_kws_tpu.models.kws_model import KWSTransferModel
+
+    trunk = EfficientNet(
+        width_coefficient=0.25,
+        depth_coefficient=0.4,
+        blocks=(
+            BlockArgs(3, 1, 32, 16, 1, 1),
+            BlockArgs(3, 1, 16, 24, 6, 2),
+            BlockArgs(5, 1, 24, 40, 6, 2),
+        ),
+    )
+    return KWSTransferModel(trunk=trunk, num_categories=3)
+
+
+def tiny_embedding_model(num_labels: int):
+    from multilingual_kws_tpu.models.efficientnet import BlockArgs, EfficientNet
+    from multilingual_kws_tpu.models.kws_model import KWSEmbeddingModel
+
+    trunk = EfficientNet(
+        width_coefficient=0.25,
+        depth_coefficient=0.4,
+        blocks=(
+            BlockArgs(3, 1, 32, 16, 1, 1),
+            BlockArgs(3, 1, 16, 24, 6, 2),
+            BlockArgs(5, 1, 24, 40, 6, 2),
+        ),
+    )
+    return KWSEmbeddingModel(num_labels=num_labels, trunk=trunk)

@@ -1,0 +1,149 @@
+"""Detector + stats semantics (reference single_target_recognize_commands.py
+and accuracy_utils.py)."""
+
+import numpy as np
+import pytest
+
+from multilingual_kws_tpu.stream.detector import (
+    DetectorParams,
+    SingleTargetRecognizeCommands,
+    detect_all_thresholds,
+)
+from multilingual_kws_tpu.stream.stats import StreamingAccuracyStats
+from multilingual_kws_tpu.stream.tprfpr import get_groundtruth, tpr_fpr
+
+
+def synth_inferences(seed=0, steps=600):
+    """Random-walk target confidence with distinct bursts."""
+    rng = np.random.default_rng(seed)
+    conf = np.full(steps, 0.05)
+    # bursts of high confidence at known hops
+    for start, dur, level in [(50, 20, 0.97), (200, 25, 0.85), (400, 15, 0.99)]:
+        conf[start : start + dur] = level + rng.normal(0, 0.01, dur)
+    conf = np.clip(conf + rng.normal(0, 0.01, steps), 0, 1)
+    inf = np.zeros((steps, 3))
+    inf[:, 2] = conf
+    inf[:, 0] = 1 - conf
+    times = np.arange(steps) * 20
+    return inf, times
+
+
+def reference_replay(inferences, times, threshold, params, target_name="target"):
+    """Replay through the online (reference-literal) detector."""
+    det = SingleTargetRecognizeCommands(
+        labels=["_silence_", "_unknown_", target_name],
+        average_window_duration_ms=params.average_window_duration_ms,
+        detection_threshold=threshold,
+        suppression_ms=params.suppression_ms,
+        minimum_count=params.minimum_count,
+        target_id=params.target_id,
+    )
+    found = []
+    for i in range(len(times)):
+        label, score, is_new = det.process_latest_result(inferences[i], times[i])
+        if is_new and label != "_silence_":
+            found.append([label, int(times[i])])
+    return found
+
+
+@pytest.mark.parametrize("threshold", [0.5, 0.7, 0.9, 0.95])
+def test_vectorized_matches_online(threshold):
+    inf, times = synth_inferences()
+    params = DetectorParams()
+    vec = detect_all_thresholds(inf, times, [threshold], params, "target")
+    online = reference_replay(inf, times, threshold, params)
+    assert vec[threshold][0] == online
+
+
+def test_vectorized_many_thresholds_consistent():
+    inf, times = synth_inferences(seed=3)
+    params = DetectorParams()
+    ths = list(np.linspace(0.05, 1, 20))
+    vec = detect_all_thresholds(inf, times, ths, params, "target")
+    for th in ths:
+        assert vec[float(th)][0] == reference_replay(inf, times, th, params)
+
+
+def test_detection_count_and_times():
+    inf, times = synth_inferences()
+    out = detect_all_thresholds(inf, times, [0.9], DetectorParams(), "kw")
+    found = out[0.9][0]
+    # three bursts above 0.9: at hops 50, 400 (0.85 burst below threshold)
+    assert len(found) == 2
+    assert abs(found[0][1] - 50 * 20) < 200
+    assert abs(found[1][1] - 400 * 20) < 200
+
+
+def test_confidences_recorded():
+    inf, times = synth_inferences()
+    out = detect_all_thresholds(inf, times, [0.9], DetectorParams(), "kw")
+    for label, t, conf in out[0.9][1]:
+        assert label == "kw"
+        assert conf > 0.9
+
+
+def test_minimum_count_gate():
+    """First few hops are unreliable (count < minimum_count)."""
+    inf = np.zeros((3, 3))
+    inf[:, 2] = 0.99
+    times = np.arange(3) * 20
+    out = detect_all_thresholds(inf, times, [0.5], DetectorParams(), "kw")
+    assert out[0.5][0] == []
+
+
+def test_suppression_blocks_refire():
+    """After a reset within suppression the detector must not refire."""
+    steps = 100
+    inf = np.zeros((steps, 3))
+    conf = np.zeros(steps)
+    conf[10:20] = 0.99  # fire
+    conf[22:30] = 0.99  # re-fire attempt right after a short dip (suppressed)
+    inf[:, 2] = conf
+    times = np.arange(steps) * 20
+    out = detect_all_thresholds(inf, times, [0.9], DetectorParams(), "kw")
+    found = out[0.9][0]
+    online = reference_replay(inf, times, 0.9, DetectorParams(), target_name="kw")
+    assert found == online
+    assert len(found) == 1  # dip is < suppression_ms after prev_time
+
+
+def test_stats_matching():
+    stats = StreamingAccuracyStats(target_keyword="kw")
+    stats.set_ground_truth([("kw", 1000), ("kw", 5000), ("kw", 9000)])
+    found = [["kw", 1100], ["kw", 5300], ["kw", 7000]]  # 2 correct, 1 FP
+    stats.calculate_accuracy_stats(found, -1, time_tolerance_ms=750)
+    info, stat = stats.print_accuracy_stats(do_print=False)
+    assert stat["matched"]["kw"] == 2
+    assert stat["howmanyfp"] == 1
+    assert stat["howmanyfn"] == 1  # kw@9000 missed
+    assert stat["num_groundtruth_target"] == 3
+
+
+def test_stats_wrong_label_counting():
+    stats = StreamingAccuracyStats(target_keyword="kw")
+    stats.set_ground_truth([("_unknown_", 2000), ("kw", 6000)])
+    found = [["kw", 2100], ["kw", 6100]]
+    stats.calculate_accuracy_stats(found, -1, time_tolerance_ms=750)
+    _, stat = stats.print_accuracy_stats(do_print=False)
+    # detection at 2100 matches the _unknown_ GT slot -> wrong
+    assert stat["wrong"]["_unknown_"] == 1
+    assert stat["matched"]["kw"] == 1
+
+
+def test_tpr_fpr():
+    found = [["kw", 1000], ["kw", 5000], ["kw", 20000]]
+    gt = [900, 5100, 30000]
+    r = tpr_fpr("kw", 0.9, found, gt, duration_s=3600, time_tolerance_ms=750)
+    assert r["true_positives"] == 2
+    assert r["false_positives"] == 1
+    assert r["false_negatives"] == 1
+    assert r["tpr"] == pytest.approx(2 / 3)
+    assert r["false_accepts_per_hour"] == pytest.approx(1.0)
+
+
+def test_get_groundtruth_tagging():
+    found = [["kw", 1000, 0.95], ["kw", 8000, 0.92]]
+    gt = [("kw", 1100), ("kw", 20000)]
+    dets = get_groundtruth(found, ["kw"], gt)
+    kinds = sorted(d["groundtruth"] for d in dets)
+    assert kinds == ["fn", "fp", "tp"]

@@ -1,0 +1,100 @@
+"""Validation of the JAX device frontend vs the bit-exact host frontend,
+plus the streaming shared-base-frames equivalence.
+
+Default mode (exact_fft=True) runs the int32 kiss FFT and integer-emulated
+NR/PCAN/log: required >= 99.9% of bins exactly on the reference grid (f32
+carry drift can flip very rare bins), max deviation <= 2 grid steps.
+(1 grid step = 10/256 ~= 0.039 on the feature scale.)
+"""
+
+import numpy as np
+import pytest
+
+from multilingual_kws_tpu.ops.micro_exact import (
+    FrontendConfig,
+    MicroFrontend,
+    to_micro_spectrogram_exact,
+)
+from multilingual_kws_tpu.ops.micro_jax import MicroFrontendJax
+
+STEP = np.float32(10.0 / 256.0)
+
+
+def make_batch(n=6, samples=16000, seed=7):
+    rng = np.random.default_rng(seed)
+    t = np.arange(samples) / 16000.0
+    waves = [
+        np.zeros(samples),
+        0.5 * np.sin(2 * np.pi * 440 * t),
+        np.clip(rng.normal(0, 0.1, samples), -1, 1),
+        np.clip(rng.normal(0, 0.001, samples), -1, 1),
+        0.3 * np.sin(2 * np.pi * (200 + 3000 * t) * t),
+        np.clip(
+            0.25 * np.sin(2 * np.pi * 180 * t) * (1 + 0.8 * np.sin(2 * np.pi * 3 * t))
+            + rng.normal(0, 0.02, samples),
+            -1,
+            1,
+        ),
+    ]
+    return np.stack(waves[:n]).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def frontends():
+    return MicroFrontendJax(FrontendConfig(), quantize=True), MicroFrontend(
+        FrontendConfig()
+    )
+
+
+def test_batch_features_close_to_exact(frontends):
+    fj, _ = frontends
+    batch = make_batch()
+    got = np.asarray(fj.features(batch))
+    want = np.stack([to_micro_spectrogram_exact(w) for w in batch])
+    assert got.shape == want.shape == (6, 49, 40)
+    steps = np.abs(got - want) / STEP
+    frac_exact = (steps < 0.5).mean()
+    assert frac_exact >= 0.999, f"only {frac_exact:.4f} bins on-grid"
+    assert steps.max() <= 2.0, f"max deviation {steps.max():.2f} grid steps"
+
+
+def test_jit_and_vmap_compatible(frontends):
+    import jax
+
+    fj, _ = frontends
+    batch = make_batch(2)
+    f = jax.jit(fj.features)
+    a = np.asarray(f(batch))
+    b = np.asarray(fj.features(batch))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_stream_features_match_per_window(frontends):
+    """Shared-base-frame streaming == independent per-window featurization."""
+    fj, fe = frontends
+    rng = np.random.default_rng(3)
+    t = np.arange(48000) / 16000.0
+    audio = np.clip(
+        0.3 * np.sin(2 * np.pi * 700 * t) + rng.normal(0, 0.05, 48000), -1, 1
+    ).astype(np.float32)
+    i16 = np.clip(np.trunc(audio * 32768.0), -32768, 32767).astype(np.int16)
+
+    num_windows = (48000 - 16000) // 320  # leave space for one full clip
+    got = np.asarray(fj.stream_features(i16.astype(np.int32), num_windows))
+
+    # reference semantics: independent spectrogram per 320-sample offset
+    for w in [0, 1, 17, 50, 99]:
+        clip = i16[w * 320 : w * 320 + 16000]
+        want = fe(clip).astype(np.float32) * STEP
+        steps = np.abs(got[w] - want) / STEP
+        assert (steps < 0.5).mean() >= 0.99
+        assert steps.max() <= 2.0
+
+
+def test_int16_cast_edge(frontends):
+    fj, _ = frontends
+    audio = np.ones((1, 16000), dtype=np.float32)  # +1.0 saturates to 32767
+    got = np.asarray(fj.features(audio))
+    want = to_micro_spectrogram_exact(np.ones(16000, dtype=np.float32))
+    steps = np.abs(got[0] - want) / STEP
+    assert steps.max() <= 2.0
