@@ -174,6 +174,9 @@ def cmd_inference(args) -> None:
         return
 
     print("running visualizer")
+    from .visualizer import install_site
+
+    install_site(args.visualizer_dir)
     data_dest = Path(args.visualizer_dir) / "data"
     files = assemble_visualizer_data(
         data_dest, args.wav, detections,

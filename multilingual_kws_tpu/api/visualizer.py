@@ -82,6 +82,17 @@ def read_waveform_dat(path):
     )
 
 
+def install_site(dest_dir) -> Path:
+    """Copy the self-contained visualizer page (api/static/index.html — the
+    reference served a peaks.js app, visualizer/index.html) into dest_dir."""
+    dest_dir = Path(dest_dir)
+    dest_dir.mkdir(parents=True, exist_ok=True)
+    src = Path(__file__).parent / "static" / "index.html"
+    target = dest_dir / "index.html"
+    shutil.copy2(src, target)
+    return target
+
+
 def assemble_visualizer_data(
     data_dest,
     wav,

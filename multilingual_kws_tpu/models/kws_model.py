@@ -51,18 +51,20 @@ class KWSEmbeddingModel(nn.Module):
     num_labels: int
     trunk: EfficientNet
 
-    @nn.compact
+    def setup(self):
+        self.embedding_head = EmbeddingHead()
+        self.classifier = nn.Dense(self.num_labels)
+
     def __call__(self, x, train: bool = False, return_embedding: bool = False):
-        fm = self.trunk(x, train=train)
-        emb = EmbeddingHead(name="embedding_head")(fm)
-        logits = nn.Dense(self.num_labels, name="classifier")(emb)
+        emb = self.embed(x, train=train)
+        logits = self.classifier(emb)
         if return_embedding:
             return logits, emb
         return logits
 
-    def embed(self, x):
-        fm = self.trunk(x, train=False)
-        return EmbeddingHead(name="embedding_head")(fm)
+    def embed(self, x, train: bool = False):
+        """The 192-d embedding (reference layer "dense_2")."""
+        return self.embedding_head(self.trunk(x, train=train))
 
 
 class TransferHead(nn.Module):
@@ -87,15 +89,16 @@ class KWSTransferModel(nn.Module):
     trunk: EfficientNet
     num_categories: int = 3
 
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        fm = self.trunk(x, train=train)
-        emb = EmbeddingHead(name="embedding_head")(fm)
-        return TransferHead(self.num_categories, name="transfer_head")(emb)
+    def setup(self):
+        self.embedding_head = EmbeddingHead()
+        self.transfer_head = TransferHead(self.num_categories)
 
-    def embed(self, x):
-        fm = self.trunk(x, train=False)
-        return EmbeddingHead(name="embedding_head")(fm)
+    def __call__(self, x, train: bool = False):
+        return self.transfer_head(self.embed(x, train=train))
+
+    def embed(self, x, train: bool = False):
+        """The 192-d embedding (reference layer "dense_2")."""
+        return self.embedding_head(self.trunk(x, train=train))
 
 
 def make_embedding_model(num_labels: int, **trunk_kw) -> KWSEmbeddingModel:
