@@ -15,8 +15,13 @@ On-device re-expression of the fixed-point pipeline in ops/micro_exact.py:
 - exact emulation of the integer log-scale, quantized onto the reference's
   uint16 grid
 
-Validated against the bit-exact host frontend: >=99.9% of bins identical,
-rare f32-carry flips bounded to +-2 grid steps (tests/test_frontend_jax.py).
+Validated against the bit-exact host frontend: >=99.9% of bins identical
+(tests/test_frontend_jax.py). Caveat: the NR/PCAN scan carries integer
+values up to ~2^42 in float32, so catastrophic cancellation in the
+scaled-domain subtraction can occasionally push an isolated bin well off
+the grid (~0.1% of bins on noisy audio). Immaterial for training/eval
+quality; use native/host_frontend.py (C++) or ops/micro_exact.py when
+bit-parity with the reference op is required.
 
 Streaming: the reference rebuilds a 49x40 spectrogram per 20 ms hop
 (batch_streaming_analysis.py:99-116 — one op dispatch per window, its main

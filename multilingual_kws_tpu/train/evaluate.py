@@ -24,8 +24,31 @@ def featurize_files(
     frontend: Optional[MicroFrontendJax] = None,
     desired_samples: int = 16000,
     batch_size: int = 256,
+    backend: str = "jax",
 ) -> np.ndarray:
-    """wav paths -> (N, 49, 40) float32 features, batched on device."""
+    """wav paths -> (N, 49, 40) float32 features.
+
+    backend="jax": batched on the accelerator (default).
+    backend="native": the multithreaded C++ host frontend (bit-identical;
+    fastest for CPU-side corpus tooling — no device round-trip).
+    """
+    if backend == "native":
+        from ..native.host_frontend import NativeMicroFrontend
+
+        native = NativeMicroFrontend(frontend.config if frontend else FrontendConfig())
+        out = []
+        for i in range(0, len(files), batch_size):
+            chunk = files[i : i + batch_size]
+            wavs = np.stack(
+                [read_wav(f, desired_samples=desired_samples)[0] for f in chunk]
+            )
+            out.append(native.features(wavs))
+        return (
+            np.concatenate(out, axis=0)
+            if out
+            else np.zeros((0, 49, 40), np.float32)
+        )
+
     frontend = frontend or MicroFrontendJax(FrontendConfig())
     out = []
     for i in range(0, len(files), batch_size):

@@ -1,10 +1,12 @@
 """Validation of the JAX device frontend vs the bit-exact host frontend,
 plus the streaming shared-base-frames equivalence.
 
-Default mode (exact_fft=True) runs the int32 kiss FFT and integer-emulated
-NR/PCAN/log: required >= 99.9% of bins exactly on the reference grid (f32
-carry drift can flip very rare bins), max deviation <= 2 grid steps.
-(1 grid step = 10/256 ~= 0.039 on the feature scale.)
+Runs the int32 kiss FFT and integer-emulated NR/PCAN/log: required
+>= 99.9% of bins exactly on the reference grid on this battery
+(1 grid step = 10/256 ~= 0.039 on the feature scale). NOTE: on arbitrary
+audio rare isolated bins can deviate further (f32 cancellation in the
+NR scan, see ops/micro_jax.py docstring); bit-parity users should take
+the native C++ frontend.
 """
 
 import numpy as np
