@@ -73,6 +73,7 @@ def cmd_train(args) -> None:
         bg_datadir=args.background_noise,
     )
     print(f"saving model to {args.output}")
+    trunk = result.model.trunk
     ckpt.save_model(
         args.output,
         result.state.params,
@@ -81,6 +82,8 @@ def cmd_train(args) -> None:
             "kind": "transfer",
             "target": args.keyword,
             "details": result.details,
+            "width_coefficient": trunk.width_coefficient,
+            "depth_coefficient": trunk.depth_coefficient,
         },
     )
 
@@ -203,6 +206,74 @@ def serve_visualizer(directory, port: int) -> None:
         print("\nTerminating visualization server")
 
 
+def cmd_pretrain(args) -> None:
+    """Embedding pretraining from manifests — replaces the reference's
+    train_monolingual/multilingual_embedding.py scripts (which hard-code
+    absolute paths at module top, SURVEY.md section 5 config notes). Reads
+    the commands.txt / train_files.txt / val_files.txt contract
+    (train_multilingual_embedding.py:27-32), runs the data-parallel mesh
+    pretraining loop with best-val orbax checkpointing + CSV metrics."""
+    from ..data.manifests import read_commands, read_lines
+    from ..train.pretrain import PretrainConfig, pretrain
+
+    commands = read_commands(args.commands)
+    train_files = read_lines(args.train_files)
+    val_files = read_lines(args.val_files)
+    unknown_files = read_lines(args.unknown_files) if args.unknown_files else []
+    config = PretrainConfig(
+        num_labels=len(commands) + 2,
+        batch_size=args.batch_size,
+        num_epochs=args.num_epochs,
+        learning_rate=args.learning_rate,
+        silence_percentage=args.silence_percentage,
+        unknown_percentage=args.unknown_percentage,
+        shuffle_seed=args.seed,
+        csvlog_dest=args.csvlog,
+        checkpoint_dir=args.output,
+        history_dest=args.history,
+        steps_per_epoch=args.steps_per_epoch,
+    )
+    model = None
+    if args.width_coefficient != 1.0 or args.depth_coefficient != 1.0:
+        from ..models.efficientnet import EfficientNet
+        from ..models.kws_model import KWSEmbeddingModel
+
+        n_cmds = len(commands)
+        has_silence = config.silence_percentage > 0
+        has_unknown = bool(unknown_files) and config.unknown_percentage > 0
+        model = KWSEmbeddingModel(
+            num_labels=n_cmds + int(has_silence) + int(has_unknown),
+            trunk=EfficientNet(
+                width_coefficient=args.width_coefficient,
+                depth_coefficient=args.depth_coefficient,
+            ),
+        )
+    state, model, history, _ = pretrain(
+        train_files,
+        val_files,
+        commands=commands,
+        background_data_dir=args.background_noise,
+        unknown_files=unknown_files,
+        config=config,
+        model=model,
+        checkpoint_meta={
+            "kind": "embedding",
+            "width_coefficient": args.width_coefficient,
+            "depth_coefficient": args.depth_coefficient,
+        },
+    )
+    best = max(history["val_accuracy"]) if history["val_accuracy"] else float("nan")
+    print(f"best val_accuracy {best:.4f}; checkpoints in {args.output}")
+
+
+def cmd_import_tf(args) -> None:
+    """Convert a reference Keras SavedModel to an orbax checkpoint."""
+    from ..models.import_tf import convert_and_save
+
+    convert_and_save(args.tf_model, args.output)
+    print(f"converted {args.tf_model} -> {args.output}")
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="multilingual_kws_tpu")
     sub = p.add_subparsers(dest="command", required=True)
@@ -236,6 +307,37 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("--write-detections", default=None)
     i.add_argument("--overwrite", action="store_true")
     i.set_defaults(fn=cmd_inference)
+
+    pt = sub.add_parser(
+        "pretrain", help="embedding-model pretraining from manifests"
+    )
+    pt.add_argument("--commands", required=True, help="commands.txt")
+    pt.add_argument("--train-files", required=True, help="train_files.txt")
+    pt.add_argument("--val-files", required=True, help="val_files.txt")
+    pt.add_argument("--unknown-files", default=None)
+    pt.add_argument("--background-noise", required=True)
+    pt.add_argument("--output", required=True, help="checkpoint directory")
+    pt.add_argument("--num-epochs", type=int, default=40)
+    pt.add_argument("--batch-size", type=int, default=64)
+    pt.add_argument("--learning-rate", type=float, default=1e-3)
+    pt.add_argument("--silence-percentage", type=float, default=1.0)
+    pt.add_argument("--unknown-percentage", type=float, default=0.0)
+    pt.add_argument("--steps-per-epoch", type=int, default=None)
+    pt.add_argument("--seed", type=int, default=0)
+    pt.add_argument("--csvlog", default=None)
+    pt.add_argument("--history", default=None)
+    pt.add_argument("--width-coefficient", type=float, default=1.0,
+                    help="EfficientNet width scaling (1.0 = B0)")
+    pt.add_argument("--depth-coefficient", type=float, default=1.0,
+                    help="EfficientNet depth scaling (1.0 = B0)")
+    pt.set_defaults(fn=cmd_pretrain)
+
+    it = sub.add_parser(
+        "import-tf", help="convert a reference Keras SavedModel to orbax"
+    )
+    it.add_argument("tf_model")
+    it.add_argument("output")
+    it.set_defaults(fn=cmd_import_tf)
     return p
 
 

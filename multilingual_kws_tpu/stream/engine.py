@@ -193,8 +193,19 @@ def eval_stream_test(
         from ..models.kws_model import make_transfer_model
         import jax
 
-        payload, _ = ckpt.load_model(st.model_path)
-        model = make_transfer_model(num_categories=3)
+        payload, meta = ckpt.load_model(st.model_path)
+        wc = float(meta.get("width_coefficient", 1.0))
+        dc = float(meta.get("depth_coefficient", 1.0))
+        if wc != 1.0 or dc != 1.0:
+            from ..models.efficientnet import EfficientNet
+            from ..models.kws_model import KWSTransferModel
+
+            model = KWSTransferModel(
+                trunk=EfficientNet(width_coefficient=wc, depth_coefficient=dc),
+                num_categories=3,
+            )
+        else:
+            model = make_transfer_model(num_categories=3)
         cols = {"params": payload["params"]}
         if payload.get("batch_stats") is not None:
             cols["batch_stats"] = payload["batch_stats"]

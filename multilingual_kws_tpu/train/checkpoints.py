@@ -49,6 +49,11 @@ def save_model(
         json.dump(meta, fh, indent=1)
 
 
+def load_metadata(path) -> Dict:
+    with open(Path(path).resolve() / METADATA_FILE) as fh:
+        return json.load(fh)
+
+
 def load_model(path):
     """Returns (payload dict with 'params' [+ 'batch_stats'], metadata)."""
     path = Path(path).resolve()

@@ -98,7 +98,27 @@ def transfer_learn(
     model: optional KWSTransferModel override (e.g. a narrower trunk).
     """
     model_settings = model_settings or standard_microspeech_model_settings(3)
-    model = model or make_transfer_model(num_categories=3)
+    if model is None:
+        # size the trunk to match the base checkpoint's (metadata carries the
+        # EfficientNet coefficients; absent/1.0 = B0)
+        wc = dc = 1.0
+        if base_model_path is not None:
+            try:
+                meta = ckpt.load_metadata(base_model_path)
+                wc = float(meta.get("width_coefficient", 1.0))
+                dc = float(meta.get("depth_coefficient", 1.0))
+            except FileNotFoundError:
+                pass
+        if wc != 1.0 or dc != 1.0:
+            from ..models.efficientnet import EfficientNet
+            from ..models.kws_model import KWSTransferModel
+
+            model = KWSTransferModel(
+                trunk=EfficientNet(width_coefficient=wc, depth_coefficient=dc),
+                num_categories=3,
+            )
+        else:
+            model = make_transfer_model(num_categories=3)
 
     # init with dummy input, then overwrite trunk/embedding from base model
     rng = jax.random.PRNGKey(seed if seed is not None else 0)

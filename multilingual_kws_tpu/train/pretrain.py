@@ -120,6 +120,7 @@ def pretrain(
     resume_params=None,
     verbose: int = 1,
     model=None,
+    checkpoint_meta: Optional[Dict] = None,
 ):
     """Data-parallel pretraining loop. Labels from parent dir names
     (init_from_parent_dir semantics, input_data.py:473-508)."""
@@ -248,7 +249,8 @@ def pretrain(
                     state.params,
                     state.batch_stats,
                     extra_meta={"epoch": epoch, "num_labels": num_labels,
-                                "commands": list(dataset.commands)},
+                                "commands": list(dataset.commands),
+                                **(checkpoint_meta or {})},
                 )
             if verbose:
                 print(
