@@ -23,9 +23,9 @@ REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
 BASELINE_CACHE = REPO / "benchmarks" / "ref_baseline.json"
-BATCH = 256
+BATCH = 2048
 WARMUP = 2
-ITERS = 8
+ITERS = 6
 
 
 def measure_ours() -> float:
@@ -130,7 +130,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "frontend+EfficientNetB0 embed throughput (bs 256)",
+                "metric": "frontend+EfficientNetB0 embed throughput (bs 2048)",
                 "value": round(ours, 1),
                 "unit": "clips/sec",
                 "vs_baseline": round(vs, 2) if vs is not None else None,

@@ -263,10 +263,27 @@ class MicroFrontendJax:
         config: FrontendConfig = FrontendConfig(),
         quantize: bool = True,
         dtype=jnp.float32,
+        use_pallas: Optional[bool] = None,
+        mode: str = "exact",
     ):
+        """mode="exact": int32 kiss FFT path, >=99.9% of bins on the
+        reference op's grid (default — required for parity with reference
+        checkpoints/evals). mode="fast": float rFFT path — the fixed-point
+        FFT emulation is the frontend's dominant TPU cost, and the float DFT
+        equals the kiss output / 512 up to quantization noise (energy scale
+        1/512^2, calibrated); features land within ~1-2 grid steps except on
+        near-silent bins. Use for training/augmentation throughput.
+        """
+        assert mode in ("exact", "fast"), mode
+        self.mode = mode
         self.config = config
         self.quantize = quantize
         self.dtype = dtype
+        # Pallas NR-scan kernel: TPU only (CPU/tests take the identical
+        # lax.scan path; interpret-mode pallas would be needlessly slow)
+        self.use_pallas = (
+            jax.default_backend() == "tpu" if use_pallas is None else use_pallas
+        )
         self.kiss = _KissFftrJax()
         t = _build_tables(config)
         self.t = t
@@ -302,6 +319,8 @@ class MicroFrontendJax:
         The stateless prefix of the pipeline: framing, exact int32 windowing,
         FFT-energy via matmul, filterbank, sqrt.
         """
+        if self.mode == "fast":
+            return self._base_frames_fast(audio_int16)
         idx = self._frame_indices(audio_int16.shape[-1])
         frames = jnp.take(audio_int16.astype(jnp.int32), jnp.asarray(idx), axis=-1)
         # exact integer windowing: (x * w) >> 12 (arithmetic shift)
@@ -335,14 +354,40 @@ class MicroFrontendJax:
             return jnp.floor(res / jnp.exp2(shift[..., None]).astype(jnp.float32))
 
 
+    def _base_frames_fast(self, audio_int16: jnp.ndarray) -> jnp.ndarray:
+        """Float rFFT stateless prefix (mode="fast"): same windowing on the
+        quantized Hann coefficients, float DFT (== kiss output / 512 up to
+        quantization), MXU filterbank matmul, float sqrt. No per-frame
+        input_shift needed — the exact path's shift cancels through
+        (<<shift ... >>shift) in real arithmetic."""
+        t = self.t
+        idx = self._frame_indices(audio_int16.shape[-1])
+        frames = jnp.take(
+            audio_int16.astype(jnp.float32), jnp.asarray(idx), axis=-1
+        )
+        window = self.window_coeffs.astype(jnp.float32) / float(1 << WINDOW_BITS)
+        windowed = frames * window
+        pad = [(0, 0)] * (windowed.ndim - 1) + [(0, 512 - t.window_size)]
+        X = jnp.fft.rfft(jnp.pad(windowed, pad), axis=-1)
+        energy = (jnp.real(X) ** 2 + jnp.imag(X) ** 2) * np.float32(1.0 / 512.0**2)
+        fbank = jnp.matmul(
+            energy.astype(jnp.float32), self.fb_matrix,
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.sqrt(jnp.maximum(fbank, 0.0))
+
     # -- stateful suffix -----------------------------------------------------
 
     def nr_pcan_log(self, fbank: jnp.ndarray) -> jnp.ndarray:
         """(..., F, C) sqrt-filterbank -> (..., F, C) final feature values.
 
-        Scan over the frame axis carrying the noise estimate, mirroring the
-        integer semantics (scaled-domain subtraction; PCAN gain from the
-        smooth wide-dynamic-function; integer-log grid).
+        Only the noise-estimate recurrence is sequential; the scan carries
+        just est_t (one multiply-add + floor per frame) and emits the
+        estimate sequence, then subtraction, PCAN gain (wide-dynamic
+        function) and log run VECTORIZED over all frames at once — the LUT
+        gathers happen once on the full (F, B, C) tensor instead of once
+        per scan step (was the dominant TPU cost, ~55 ms -> few ms at
+        bs 256).
         """
         t = self.t
         sb = float(1 << t.smoothing_bits)
@@ -350,9 +395,17 @@ class MicroFrontendJax:
         sm = self.smoothing
         om = nrb - sm
 
-        pcan_lut = (
-            jnp.asarray(t.pcan_lut) if t.enable_pcan else None
-        )
+        # WDF table indexed by interval (<=32 distinct rows): gathers over
+        # the full (F, B, C) tensor are scalar-slow on TPU, so the lookup is
+        # a one-hot matmul onto the MXU instead.
+        if t.enable_pcan:
+            np_lut = np.asarray(t.pcan_lut, np.float32)
+            rows = []
+            for interval in range(1, 33):
+                base_i = min(max(4 * interval - 6, 0), len(np_lut) - 3)
+                rows.append([np_lut[base_i], np_lut[base_i + 1], np_lut[base_i + 2]])
+            wdf_table = jnp.asarray(np.asarray(rows, np.float32))  # (32, 3)
+            lut012 = jnp.asarray(np_lut[:3])
 
         def wide_dynamic_function(x):
             """Exact emulation of the integer gain LUT interpolation
@@ -363,50 +416,71 @@ class MicroFrontendJax:
             scaled = xs * jnp.exp2(11.0 - interval)
             scaled = jnp.floor(scaled)  # exact for interval<=11; floor-div above
             frac = scaled - 1024.0
-            base = 4.0 * interval - 6.0
-            base_i = jnp.clip(base.astype(jnp.int32), 0, pcan_lut.shape[0] - 3)
-            l0 = pcan_lut[base_i]
-            l1 = pcan_lut[base_i + 1]
-            l2 = pcan_lut[base_i + 2]
+            onehot = jax.nn.one_hot(
+                interval.astype(jnp.int32) - 1, 32, dtype=jnp.float32
+            )
+            l0, l1, l2 = jnp.moveaxis(
+                jnp.matmul(onehot, wdf_table, preferred_element_type=jnp.float32),
+                -1, 0,
+            )
             r = jnp.floor(l2 * frac / 32.0)
             r = r + l1 * 32.0
             r = r * frac
             r = jnp.floor((r + 16384.0) / 32768.0)
             r = r + l0
             small = x <= 2.0
-            lut_small = pcan_lut[jnp.clip(x.astype(jnp.int32), 0, 2)]
+            lut_small = jnp.where(
+                x < 1.0, lut012[0], jnp.where(x < 2.0, lut012[1], lut012[2])
+            )
             return jnp.where(small, lut_small, r)
 
-        def step(est, sig):
-            up = sig * sb
-            est = jnp.floor((up * sm + est * om) / nrb)
-            subtracted = jnp.floor(jnp.maximum(up - est, 0.0) / sb)
-            floor_ = jnp.floor(sig * t.min_signal_remaining / nrb)
-            nr = jnp.maximum(subtracted, floor_)
-            if t.enable_pcan:
-                gain = wide_dynamic_function(est)
-                snr = jnp.floor(nr * gain / float(1 << t.snr_shift))
-                big = snr >= float(2 << PCAN_SNR_BITS)
-                small_val = jnp.floor(
-                    snr * snr / float(1 << (2 + 2 * PCAN_SNR_BITS - PCAN_OUTPUT_BITS))
-                )
-                big_val = jnp.floor(
-                    snr / float(1 << (PCAN_SNR_BITS - PCAN_OUTPUT_BITS))
-                ) - float(1 << PCAN_OUTPUT_BITS)
-                out = jnp.where(big, big_val, small_val)
-            else:
-                out = nr
-            return est, out
-
-        # move frame axis to front for the scan
+        # Noise-estimate recurrence est_t = floor((up_t*sm + est_{t-1}*om)/2^14)
+        # — the only sequential piece. On TPU it runs as a Pallas kernel
+        # (the whole 49-step loop inside one VMEM-resident kernel; a
+        # lax.scan here was pure loop-dispatch latency, ~37 ms at bs 256).
+        # CPU/tests use the identical-semantics lax.scan.
         x = jnp.moveaxis(fbank, -2, 0)
-        est0 = jnp.zeros(x.shape[1:], dtype=x.dtype)
-        _, ys = jax.lax.scan(step, est0, x)
+        if self.use_pallas:
+            from .pallas_frontend import noise_estimate_scan
+
+            est_seq = noise_estimate_scan(x, sm, om, sb, nrb)
+        else:
+            def step(est, sig):
+                est = jnp.floor((sig * sb * sm + est * om) / nrb)
+                return est, est
+
+            est0 = jnp.zeros(x.shape[1:], dtype=x.dtype)
+            _, est_seq = jax.lax.scan(step, est0, x)
+
+        # everything below is pointwise in (sig_t, est_t): full-tensor ops
+        up = x * sb
+        subtracted = jnp.floor(jnp.maximum(up - est_seq, 0.0) / sb)
+        floor_ = jnp.floor(x * t.min_signal_remaining / nrb)
+        nr = jnp.maximum(subtracted, floor_)
+        if t.enable_pcan:
+            gain = wide_dynamic_function(est_seq)
+            snr = jnp.floor(nr * gain / float(1 << t.snr_shift))
+            big = snr >= float(2 << PCAN_SNR_BITS)
+            small_val = jnp.floor(
+                snr * snr / float(1 << (2 + 2 * PCAN_SNR_BITS - PCAN_OUTPUT_BITS))
+            )
+            big_val = jnp.floor(
+                snr / float(1 << (PCAN_SNR_BITS - PCAN_OUTPUT_BITS))
+            ) - float(1 << PCAN_OUTPUT_BITS)
+            ys = jnp.where(big, big_val, small_val)
+        else:
+            ys = nr
         out = jnp.moveaxis(ys, 0, -2)
 
         if t.enable_log:
-            # exact emulation of log_scale.c Log() on integer-valued f32
-            log_lut = jnp.asarray(_LOG_LUT.astype(np.float32))
+            # exact emulation of log_scale.c Log() on integer-valued f32;
+            # the segment-LUT lookup is a one-hot matmul (MXU) — a gather
+            # over the full tensor was the dominant TPU cost here.
+            n_seg = 1 << LOG_SEGMENTS_LOG2
+            lut_np = _LOG_LUT.astype(np.float32)
+            log_pairs = jnp.asarray(
+                np.stack([lut_np[: n_seg + 1], lut_np[1 : n_seg + 2]], axis=1)
+            )  # (129, 2)
             v = out * float(1 << t.correction_bits)
             vs = jnp.maximum(v, 1.0)
             integer = jnp.floor(jnp.log2(vs))
@@ -418,8 +492,13 @@ class MicroFrontendJax:
             )
             seg_unit = float(1 << (LOG_SCALE_LOG2 - LOG_SEGMENTS_LOG2))  # 512
             base_seg = jnp.floor(frac / seg_unit)
-            c0 = log_lut[base_seg.astype(jnp.int32)]
-            c1 = log_lut[base_seg.astype(jnp.int32) + 1]
+            onehot = jax.nn.one_hot(
+                base_seg.astype(jnp.int32), n_seg + 1, dtype=jnp.float32
+            )
+            c0, c1 = jnp.moveaxis(
+                jnp.matmul(onehot, log_pairs, preferred_element_type=jnp.float32),
+                -1, 0,
+            )
             rel = jnp.floor((c1 - c0) * (frac - seg_unit * base_seg) / 65536.0)
             fraction = frac + c0 + rel
             log2v = integer * 65536.0 + fraction

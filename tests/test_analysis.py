@@ -138,3 +138,44 @@ def test_sweep_point_resume(tmp_path):
     loaded = load_sweep_results(tmp_path / "sweep")
     assert len(loaded) == 1
     assert "tprs" in loaded[0] and len(loaded[0]["tprs"]) == 101
+
+
+def test_frr_far_and_roc_band():
+    from multilingual_kws_tpu.analysis.viz import frr_far_curves, roc_band
+
+    rng = np.random.default_rng(0)
+    c = frr_far_curves(rng.uniform(0.7, 1, 100), rng.uniform(0, 0.3, 100))
+    assert c["frr"][0] == 0.0 and c["far"][0] == 1.0
+    assert c["frr"][-1] == 1.0 and c["far"][-1] == 0.0
+
+    curves = [
+        ([1.0, 0.8, 0.2], [1.0, 0.5, 0.0]),
+        ([1.0, 0.6, 0.4], [1.0, 0.4, 0.0]),
+    ]
+    band = roc_band(curves)
+    assert band["num_words"] == 2
+    assert np.all(band["tpr_max"] >= band["tpr_mean"])
+    assert np.all(band["tpr_mean"] >= band["tpr_min"])
+
+
+def test_confusion_matrix_and_top():
+    from multilingual_kws_tpu.analysis.viz import confusion_matrix, top_confusions
+
+    cm = confusion_matrix([0, 0, 1, 2, 2], [0, 1, 1, 2, 0], num_labels=3)
+    assert cm[0, 0] == 1 and cm[0, 1] == 1 and cm[2, 0] == 1
+    top = top_confusions(cm, ["a", "b", "c"], k=2)
+    assert ("a", "b", 1) in top or ("c", "a", 1) in top
+
+
+def test_detection_video_frames():
+    from multilingual_kws_tpu.analysis.viz import detection_video_frames
+
+    times = np.arange(0, 3000, 20)
+    inf = np.zeros((len(times), 3))
+    frames = detection_video_frames(
+        inf, times, [["kw", 1500]], "kw", window_s=1.0, fps=2.0
+    )
+    assert len(frames) == int(times[-1] / 1000 * 2.0) + 1  # ~3 s at 2 fps
+    f4 = frames[4]  # now = 2000ms, window [1000, 2000]
+    assert f4["detections"] == [("kw", 1500)]
+    assert f4["trace_times"].min() >= 1000
