@@ -233,6 +233,15 @@ def cmd_pretrain(args) -> None:
         history_dest=args.history,
         steps_per_epoch=args.steps_per_epoch,
     )
+    resume_params = None
+    if args.resume:
+        from ..train.checkpoints import load_model as ckpt_load
+
+        payload, rmeta = ckpt_load(args.resume)
+        resume_params = payload
+        print(f"resuming from {args.resume} (epoch {rmeta.get('epoch')}, "
+              f"val_accuracy {rmeta.get('val_accuracy')})")
+
     model = None
     if args.width_coefficient != 1.0 or args.depth_coefficient != 1.0:
         from ..models.efficientnet import EfficientNet
@@ -256,6 +265,7 @@ def cmd_pretrain(args) -> None:
         unknown_files=unknown_files,
         config=config,
         model=model,
+        resume_params=resume_params,
         checkpoint_meta={
             "kind": "embedding",
             "width_coefficient": args.width_coefficient,
@@ -326,6 +336,10 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--seed", type=int, default=0)
     pt.add_argument("--csvlog", default=None)
     pt.add_argument("--history", default=None)
+    pt.add_argument("--resume", default=None,
+                    help="checkpoint dir to resume from (load params + BN "
+                         "stats, keep training — the reference's "
+                         "load+recompile pattern)")
     pt.add_argument("--width-coefficient", type=float, default=1.0,
                     help="EfficientNet width scaling (1.0 = B0)")
     pt.add_argument("--depth-coefficient", type=float, default=1.0,

@@ -68,6 +68,27 @@ def replicate(mesh: Mesh, tree):
     return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), tree)
 
 
+def make_sharded_predict(predict_fn, mesh: Mesh, pad_batch_to: int = 1):
+    """Wrap a jitted (B, ...) -> (B, ...) predictor so the batch axis is
+    sharded over the mesh "data" axis — the window-axis parallelism for
+    long-audio streaming eval (SURVEY 2.2: the CP analogue for a CNN; the
+    reference chunks long audio onto ONE device, batch_streaming_analysis.py
+    :72-87). Pads the batch to a device multiple and strips the padding.
+    """
+    n_dev = mesh.shape[DATA_AXIS]
+    multiple = max(n_dev * pad_batch_to, 1)
+    sh = batch_sharding(mesh)
+
+    def wrapped(batch):
+        batch = np.asarray(batch)
+        padded, real = pad_to_multiple(batch, multiple)
+        with mesh:
+            out = predict_fn(jax.device_put(padded, sh))
+        return np.asarray(out)[:real]
+
+    return wrapped
+
+
 def pad_to_multiple(batch: np.ndarray, multiple: int, axis: int = 0):
     """Pad a host batch so it divides evenly across the data axis; returns
     (padded, real_count)."""

@@ -61,6 +61,53 @@ def select_embedding_commands(
     return per_lang
 
 
+def write_timing_csvs(
+    timings: Dict[str, List[Tuple[str, float, float]]], dest_dir
+) -> None:
+    """Persist word timings as per-word CSVs `clip_id,start_s,end_s`
+    (the timings/ directory consumed by the context-padded variant,
+    multilingual_embedding_data_w_context.py:44-61)."""
+    import csv
+
+    dest_dir = Path(dest_dir)
+    dest_dir.mkdir(parents=True, exist_ok=True)
+    for word, rows in timings.items():
+        with open(dest_dir / f"{word}.csv", "w", newline="") as fh:
+            w = csv.writer(fh)
+            w.writerow(["clip_id", "start_s", "end_s"])
+            w.writerows(rows)
+
+
+def read_timing_csv(path) -> Dict[str, Tuple[float, float]]:
+    """{clip_id: (start_s, end_s)} keeping the FIRST occurrence per clip
+    (reference :49-60 skips duplicate ids)."""
+    import csv
+
+    out: Dict[str, Tuple[float, float]] = {}
+    with open(path) as fh:
+        reader = csv.reader(fh)
+        next(reader)
+        for row in reader:
+            if row[0] not in out:
+                out[row[0]] = (float(row[1]), float(row[2]))
+    return out
+
+
+def repoint_manifest(files: Sequence[str], old_root, new_root) -> List[str]:
+    """Re-point manifest entries from one extraction tree to another (e.g.
+    no-context clips -> context-padded clips), preserving word/clip layout.
+    Raises if a target is missing — the merge must be complete."""
+    old_root, new_root = Path(old_root), Path(new_root)
+    out = []
+    for f in files:
+        rel = Path(f).relative_to(old_root)
+        target = new_root / rel
+        if not target.exists():
+            raise FileNotFoundError(f"context variant missing: {target}")
+        out.append(str(target))
+    return out
+
+
 def make_embedding_manifests(
     word_dirs: Dict[str, str],
     dest_dir,

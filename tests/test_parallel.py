@@ -96,3 +96,27 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_sharded_predict_matches_single_device():
+    """Window-axis sharding for streaming eval: same outputs, any batch."""
+    import jax.numpy as jnp
+
+    from helpers import tiny_transfer_model
+
+    model = tiny_transfer_model()
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 49, 40, 1), jnp.float32), train=False
+    )
+    predict = jax.jit(lambda s: model.apply(variables, s, train=False))
+
+    mesh = meshlib.make_mesh()
+    sharded = meshlib.make_sharded_predict(predict, mesh)
+
+    rng = np.random.default_rng(0)
+    for n in (5, 8, 17):  # including non-multiples of 8 devices
+        specs = rng.normal(0, 1, (n, 49, 40, 1)).astype(np.float32)
+        a = np.asarray(predict(specs))
+        b = sharded(specs)
+        assert b.shape == a.shape
+        np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-4)

@@ -247,3 +247,30 @@ def test_generate_stream_and_labels(mini_cv, tmp_path):
     assert audio.shape[0] == 4 * SR
     lines = labels_path.read_text().splitlines()
     assert lines == ["hello, 0", "hello, 3000"]
+
+
+def test_timing_csvs_roundtrip(tmp_path):
+    from multilingual_kws_tpu.tools.corpus import read_timing_csv, write_timing_csvs
+
+    timings = {
+        "hello": [("c1", 0.5, 1.0), ("c1", 1.5, 2.0), ("c2", 0.2, 0.7)],
+    }
+    write_timing_csvs(timings, tmp_path / "timings")
+    d = read_timing_csv(tmp_path / "timings" / "hello.csv")
+    # first occurrence per clip id wins (reference duplicate-skip semantics)
+    assert d == {"c1": (0.5, 1.0), "c2": (0.2, 0.7)}
+
+
+def test_repoint_manifest(tmp_path):
+    from multilingual_kws_tpu.tools.corpus import repoint_manifest
+
+    old = tmp_path / "nocontext"
+    new = tmp_path / "context"
+    for root in (old, new):
+        (root / "word").mkdir(parents=True)
+        (root / "word" / "a.wav").write_bytes(b"")
+    files = [str(old / "word" / "a.wav")]
+    out = repoint_manifest(files, old, new)
+    assert out == [str(new / "word" / "a.wav")]
+    with pytest.raises(FileNotFoundError):
+        repoint_manifest([str(old / "word" / "missing.wav")], old, new)
