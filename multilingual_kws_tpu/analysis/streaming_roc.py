@@ -76,6 +76,20 @@ def operating_point(
     return best
 
 
+def frr_fa_view(roc: Dict) -> Dict:
+    """FRR (false-rejections per instance) vs false-accepts/second — the
+    streaming_FRR_FAR_curve view (test_streaming_accuracy.py:659-760,
+    multi_streaming_FRR_FAR_curve :216-350)."""
+    return dict(
+        keyword=roc["keyword"],
+        thresholds=roc["thresholds"],
+        false_rejection_rates=[
+            a["false_rejections_per_instance"] for a in roc["analyses"]
+        ],
+        false_accepts_per_sec=[f / 3600.0 for f in roc["fa_per_hour"]],
+    )
+
+
 def load_sweep_rocs(
     sweep_dir,
     eval_data: Dict[str, Dict],
