@@ -172,3 +172,21 @@ def test_labeling_loop_scripted(tmp_path):
     assert played == ["a.wav", "b.wav", "b.wav", "c.wav"]
     rows = read_distance_csv(out_csv)
     assert rows[0] == ("a.wav", 0.1)
+
+
+def test_frr_fa_view():
+    from multilingual_kws_tpu.analysis.streaming_roc import frr_fa_view
+
+    roc = dict(
+        keyword="kw",
+        thresholds=[0.5, 0.9],
+        tprs=[1.0, 0.5],
+        fa_per_hour=[36.0, 0.0],
+        analyses=[
+            {"false_rejections_per_instance": 0.0},
+            {"false_rejections_per_instance": 0.5},
+        ],
+    )
+    v = frr_fa_view(roc)
+    assert v["false_rejection_rates"] == [0.0, 0.5]
+    assert v["false_accepts_per_sec"] == [0.01, 0.0]
