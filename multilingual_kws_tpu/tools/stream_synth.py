@@ -79,6 +79,33 @@ def synthesize_stream(
     return StreamSpec(waveform=waveform, sample_rate=sample_rate, labels=labels)
 
 
+def synthesize_nontarget_stream(
+    distractor_clips: Sequence[np.ndarray],
+    num_distractors: int,
+    sample_rate: int = 16000,
+    gap_ms_range: Tuple[int, int] = (100, 600),
+    noise_rms: float = 0.0,
+    seed: int = 0,
+) -> StreamSpec:
+    """A stream containing NO target occurrences — for measuring the
+    false-accept rate in isolation (reference luganda/luganda_nontarget.py
+    :29-70 builds such streams from non-target sentences). Ground-truth
+    label list is empty; every detection on it is a false accept."""
+    spec = synthesize_stream(
+        target_name="_none_",
+        target_clips=[np.zeros(1, np.float32)],
+        distractor_clips=distractor_clips,
+        num_targets=0,
+        num_distractors=num_distractors,
+        sample_rate=sample_rate,
+        gap_ms_range=gap_ms_range,
+        noise_rms=noise_rms,
+        seed=seed,
+    )
+    assert spec.labels == []
+    return spec
+
+
 def write_stream(spec: StreamSpec, wav_path, labels_path) -> None:
     """Write stream wav + "label,time_ms" ground-truth file."""
     write_wav(wav_path, spec.waveform, spec.sample_rate)

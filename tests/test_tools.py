@@ -274,3 +274,22 @@ def test_repoint_manifest(tmp_path):
     assert out == [str(new / "word" / "a.wav")]
     with pytest.raises(FileNotFoundError):
         repoint_manifest([str(old / "word" / "missing.wav")], old, new)
+
+
+def test_nontarget_stream_has_no_labels(tmp_path):
+    from helpers import keyword_clip
+    from multilingual_kws_tpu.tools.stream_synth import (
+        synthesize_nontarget_stream,
+        write_stream,
+    )
+
+    spec = synthesize_nontarget_stream(
+        [keyword_clip("charlie", seed=600 + i) for i in range(3)],
+        num_distractors=4, seed=2, noise_rms=0.003,
+    )
+    assert spec.labels == []
+    # 4 distractor clips + gaps + tail
+    assert spec.waveform.shape[0] > 4 * SR
+    wavp, labp = tmp_path / "nt.wav", tmp_path / "nt.txt"
+    write_stream(spec, wavp, labp)
+    assert labp.read_text() == ""
