@@ -215,8 +215,9 @@ class AudioDataset:
     ) -> Iterator[Tuple[jnp.ndarray, jnp.ndarray]]:
         """Deterministic eval batches (no augmentation). Optionally appends
         synthetic silence/unknown eval examples like eval_with_silence_unknown
-        (input_data.py:521-556). Pads the final partial batch by repeating
-        the first file (mask via returned labels length if needed)."""
+        (input_data.py:521-556). The final partial batch is yielded unpadded
+        (its leading dim may be smaller than batch_size); mesh-sharded
+        callers must pad it themselves before device_put."""
         files = list(files)
         if labels is None:
             label_ids = [len(self.commands) - 1] * len(files)

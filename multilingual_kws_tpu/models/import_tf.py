@@ -36,12 +36,29 @@ from typing import Any, Dict, Optional, Tuple
 import numpy as np
 
 
+def _iter_leaf_layers(keras_model):
+    """Depth-first leaf layers, recursing into nested Models/Sequentials.
+
+    The reference saves transfer models as Sequential([truncated base
+    Model, Dense 18, Dense 3]) (transfer_learning.py:38-53, saved by
+    run.py:299-300), so the trunk's layers are nested one level down."""
+    for layer in keras_model.layers:
+        if hasattr(layer, "layers") and layer.layers:
+            yield from _iter_leaf_layers(layer)
+        else:
+            yield layer
+
+
 def _keras_weights_by_layer(keras_model) -> Dict[str, list]:
     out = {}
-    for layer in keras_model.layers:
+    for layer in _iter_leaf_layers(keras_model):
         w = layer.get_weights()
-        if w:
-            out[layer.name] = [np.asarray(a) for a in w]
+        if not w:
+            continue
+        name = layer.name
+        while name in out:  # nested models can reuse auto-generated names
+            name += "#"
+        out[name] = [np.asarray(a) for a in w]
     return out
 
 
@@ -132,12 +149,18 @@ def import_keras_kws_model(keras_model) -> Dict[str, Any]:
                 put(block, "project_bn", p, s)
             # block*_drop / activations carry no weights
 
-    # dense layers in graph order
-    dense_layers = [
-        (layer.name, _dense(by_name[layer.name]))
-        for layer in keras_model.layers
-        if layer.__class__.__name__ == "Dense" and layer.name in by_name
-    ]
+    # dense layers in graph order (leaf-flattened for nested transfer models)
+    dense_layers = []
+    seen = set()
+    for layer in _iter_leaf_layers(keras_model):
+        if layer.__class__.__name__ != "Dense":
+            continue
+        name = layer.name
+        while name in seen:
+            name += "#"
+        seen.add(name)
+        if name in by_name:
+            dense_layers.append((name, _dense(by_name[name])))
     if len(dense_layers) == 4:  # embedding model: 1024, 1024, 192, logits
         kind = "embedding"
         head = {

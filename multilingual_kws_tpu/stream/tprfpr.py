@@ -21,13 +21,19 @@ def get_groundtruth(
 
     found_words: [[keyword, time_ms, confidence], ...] (sorted by time);
     groundtruth: [(keyword, time_ms), ...].
-    Note: like the reference, returns after the first target (single-target
-    semantics preserved; multi-target callers loop keywords themselves).
+
+    Unlike the reference (which returns inside the first loop iteration,
+    tpr_fpr.py:60, so only the first target is ever tagged), every target
+    is tagged and the results concatenated — the mandate is capability
+    match, not bug match. Times are sorted per target so the early-break
+    scan below stays correct regardless of input order.
     """
     detections: List[Dict] = []
     for target in targets:
-        gt_times = [t for k, t in groundtruth if k == target]
-        found_target = [f for f in found_words if f[0] == target]
+        gt_times = sorted(t for k, t in groundtruth if k == target)
+        found_target = sorted(
+            (f for f in found_words if f[0] == target), key=lambda f: f[1]
+        )
 
         for time in gt_times:
             latest = time + time_tolerance_ms
@@ -60,7 +66,6 @@ def get_groundtruth(
                     groundtruth="tp" if match else "fp",
                 )
             )
-        return detections
     return detections
 
 

@@ -79,6 +79,7 @@ def test_kmeans_clusters_separated_points():
     np.testing.assert_allclose(got, [-1.0, 0.0, 1.0], atol=0.05)
 
 
+@pytest.mark.slow
 def test_cluster_and_sort_flags_outliers(tmp_path):
     """Outlier clips (a different keyword) must sort to the far end."""
     from multilingual_kws_tpu.utils.wav import write_wav
@@ -108,6 +109,7 @@ def test_cluster_and_sort_flags_outliers(tmp_path):
     assert np.all(np.diff(res["distances"]) >= 0)
 
 
+@pytest.mark.slow
 def test_sweep_point_resume(tmp_path):
     """run_sweep_point writes hpsweep pickles and skips existing ones."""
     from multilingual_kws_tpu.analysis.sweeps import (

@@ -8,6 +8,8 @@ import json
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy e2e: run with --slow
+
 from multilingual_kws_tpu.api.cli import main as cli_main
 from multilingual_kws_tpu.data.manifests import write_lines
 

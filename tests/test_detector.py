@@ -147,3 +147,31 @@ def test_get_groundtruth_tagging():
     dets = get_groundtruth(found, ["kw"], gt)
     kinds = sorted(d["groundtruth"] for d in dets)
     assert kinds == ["fn", "fp", "tp"]
+
+
+def test_get_groundtruth_multi_keyword():
+    # The reference returns inside the first target iteration
+    # (tpr_fpr.py:60) so a second keyword never gets tagged; our fix tags
+    # every keyword and concatenates.
+    found = [
+        ["alpha", 1000, 0.95],
+        ["beta", 3000, 0.91],
+        ["alpha", 8000, 0.92],
+        ["beta", 9000, 0.97],
+    ]
+    gt = [("alpha", 1100), ("beta", 9100), ("beta", 20000)]
+    dets = get_groundtruth(found, ["alpha", "beta"], gt)
+    by_kw = {}
+    for d in dets:
+        by_kw.setdefault(d["keyword"], []).append(d["groundtruth"])
+    assert sorted(by_kw["alpha"]) == ["fp", "tp"]
+    assert sorted(by_kw["beta"]) == ["fn", "fp", "tp"]
+
+
+def test_get_groundtruth_unsorted_input():
+    # early-break scan must survive unsorted detection/gt order
+    found = [["kw", 8000, 0.92], ["kw", 1000, 0.95]]
+    gt = [("kw", 20000), ("kw", 1100)]
+    dets = get_groundtruth(found, ["kw"], gt)
+    kinds = sorted(d["groundtruth"] for d in dets)
+    assert kinds == ["fn", "fp", "tp"]

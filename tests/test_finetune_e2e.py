@@ -8,6 +8,8 @@ clips. Uses a narrow trunk so it compiles quickly on the 1-core CPU CI box.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy e2e: run with --slow
+
 from multilingual_kws_tpu.settings import standard_microspeech_model_settings
 from multilingual_kws_tpu.train.finetune import transfer_learn
 from multilingual_kws_tpu.train.evaluate import evaluate_files_multiclass

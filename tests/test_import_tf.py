@@ -9,6 +9,8 @@ when TensorFlow is unavailable.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy e2e: run with --slow
+
 tf = pytest.importorskip("tensorflow")
 
 import jax  # noqa: E402

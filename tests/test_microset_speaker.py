@@ -55,6 +55,7 @@ def test_group_by_speaker():
     assert len(g["abc"]) == 2
 
 
+@pytest.mark.slow
 def test_per_speaker_eval(tmp_path):
     from multilingual_kws_tpu.analysis.per_speaker import per_speaker_eval
     from multilingual_kws_tpu.utils.wav import write_wav

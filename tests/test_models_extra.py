@@ -9,6 +9,7 @@ import jax
 import jax.numpy as jnp
 
 
+@pytest.mark.slow
 def test_dscnn_forward_and_train_step():
     import optax
 

@@ -39,6 +39,7 @@ def test_pad_to_multiple():
     assert padded.shape == (16, 1) and real == 10
 
 
+@pytest.mark.slow
 def test_data_parallel_step_matches_single_device():
     """Gradient math under the mesh == single-device math."""
     import optax
@@ -87,6 +88,7 @@ def test_data_parallel_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_graft_dryrun_multichip():
     """The driver's multi-chip dry run must work on the virtual mesh."""
     import sys

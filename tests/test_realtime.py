@@ -4,6 +4,8 @@ offline engine's detections regardless of chunk size."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy e2e: run with --slow
+
 from multilingual_kws_tpu.stream.realtime import RealtimeDetector
 
 

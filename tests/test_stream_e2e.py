@@ -10,6 +10,8 @@ occurrences at known times, run the engine, assert detections line up.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy e2e: run with --slow
+
 from multilingual_kws_tpu.stream.engine import (
     StreamFlags,
     StreamTarget,
