@@ -7,27 +7,22 @@ On-device re-expression of the fixed-point pipeline in ops/micro_exact.py:
   (VPU-friendly elementwise butterflies; the reference op's quantization
   noise floor on near-silent bins is load-bearing for feature parity, which
   rules out a float FFT)
-- mel filterbank as a single (257, 40) f32 matmul (MXU) with the exact
-  quantized 12-bit weights; rounded sqrt on the Sqrt64 grid
-- noise-reduction + PCAN as a lax.scan over frames, emulating the integer
-  recurrences (incl. the scaled-domain subtraction and the quantized
-  gain-LUT interpolation) in integer-valued float32
-- exact emulation of the integer log-scale, quantized onto the reference's
-  uint16 grid
+- mel filterbank, Sqrt64, noise-reduction, PCAN and log scaling in TRUE
+  uint32 arithmetic (ops/micro_int.py), emulating the C code's uint64
+  intermediates with 16-bit limb splits; the small LUTs ride the MXU as
+  exact one-hot-matmul selects
 
-Validated against the bit-exact host frontend: >=99.9% of bins identical
-(tests/test_frontend_jax.py). Caveat: the NR/PCAN scan carries integer
-values up to ~2^42 in float32, so catastrophic cancellation in the
-scaled-domain subtraction can occasionally push an isolated bin well off
-the grid (~0.1% of bins on noisy audio). Immaterial for training/eval
-quality; use native/host_frontend.py (C++) or ops/micro_exact.py when
-bit-parity with the reference op is required.
+mode="exact" is **bit-exact** against the host frontend (and hence against
+the golden features captured from the real TFLite op): every bin lands on
+the reference uint16 grid — asserted with == in tests/test_frontend_jax.py.
+(Round 1 emulated the integer stages on integer-valued float32, which lost
+exactness above 2^24; that path survives only as mode="fast"'s suffix.)
 
 Streaming: the reference rebuilds a 49x40 spectrogram per 20 ms hop
 (batch_streaming_analysis.py:99-116 — one op dispatch per window, its main
 throughput bottleneck). Here the stateless stages are computed ONCE per hop
 over the whole stream and shared by all overlapping windows (hop == frame
-stride == 320 samples), so only the cheap NR/PCAN scan runs per window:
+stride == 320 samples), so only the cheap NR/PCAN suffix runs per window:
 ~49x less FFT/filterbank work.
 """
 
@@ -54,6 +49,7 @@ from .micro_exact import (
     MicroFrontend,
     _LOG_LUT,
 )
+from . import micro_int as mi
 
 
 class _KissFftrJax:
@@ -295,6 +291,28 @@ class MicroFrontendJax:
                 np.float32
             )
         )
+        # integer (bit-exact) tables for mode="exact" — see ops/micro_int.py
+        host = MicroFrontend(config)
+        fbi = mi.build_filterbank_int(host.fb, config.num_channels)
+        self.fb_idx = jnp.asarray(fbi.idx)
+        self.fb_wgt_u = jnp.asarray(fbi.wgt.astype(np.uint32))
+        w_hi, w_lo = mi.build_filterbank_limb_matrices(fbi, host.spectrum_size)
+        self.fb_whi_f32 = jnp.asarray(w_hi)
+        self.fb_wlo_f32 = jnp.asarray(w_lo)
+        self.sm_u = jnp.asarray(
+            np.where(ch % 2 == 0, t.even_smoothing, t.odd_smoothing).astype(
+                np.uint32
+            )
+        )
+        self.om_u = jnp.asarray(
+            ((1 << NOISE_REDUCTION_BITS) - np.asarray(self.sm_u)).astype(np.uint32)
+        )
+        self.msr_u = jnp.uint32(t.min_signal_remaining)
+        if config.enable_pcan:
+            wdf_rows, lut012 = mi.build_wdf_tables(host.pcan_lut)
+            self.wdf_rows_f32 = jnp.asarray(wdf_rows.astype(np.float32))
+            self.lut012_i32 = jnp.asarray(lut012)
+        self.log_pairs_f32 = jnp.asarray(mi._LOG_PAIRS_F32)
         # jitted entry points (shape-polymorphic via retrace per shape)
         self._features_jit = jax.jit(self._features_impl)
         self._features_i16_jit = jax.jit(self._features_from_int16_impl)
@@ -314,45 +332,43 @@ class MicroFrontendJax:
         ).astype(np.int32)
 
     def base_frames(self, audio_int16: jnp.ndarray) -> jnp.ndarray:
-        """(..., samples) int -> (..., F, C) float sqrt-filterbank values.
+        """(..., samples) int -> (..., F, C) sqrt-filterbank signal values.
 
         The stateless prefix of the pipeline: framing, exact int32 windowing,
-        FFT-energy via matmul, filterbank, sqrt.
+        per-frame input_shift, int32 kiss FFT, then (mode="exact") the exact
+        uint32 filterbank accumulate + Sqrt64 — returns uint32 — or
+        (mode="fast") a float MXU-matmul filterbank — returns float32.
         """
         if self.mode == "fast":
             return self._base_frames_fast(audio_int16)
         idx = self._frame_indices(audio_int16.shape[-1])
         frames = jnp.take(audio_int16.astype(jnp.int32), jnp.asarray(idx), axis=-1)
-        # exact integer windowing: (x * w) >> 12 (arithmetic shift)
+        # exact integer windowing: (x * w) >> 12 (arithmetic shift); the
+        # result always fits int16 (|x| <= 32767, w <= 4096)
         windowed = (frames * self.window_coeffs) >> WINDOW_BITS
-        hp = jax.lax.Precision.HIGHEST
-
-        if True:  # exact int32 FFT path (sole mode; see module docstring)
-            # per-frame input_shift normalization (frontend.c), then the
-            # bit-exact int32 kiss FFT
-            max_abs = jnp.max(jnp.abs(windowed), axis=-1)
-            bitlen = jnp.where(
-                max_abs > 0,
-                jnp.floor(jnp.log2(jnp.maximum(max_abs, 1).astype(jnp.float32)))
-                .astype(jnp.int32) + 1,
-                0,
-            )
-            shift = jnp.clip(15 - bitlen, 0, 15)
-            scaled = windowed << shift[..., None]
-            pad = self.t.window_size
-            fft_in = jnp.concatenate(
-                [scaled, jnp.zeros((*scaled.shape[:-1], 512 - pad), jnp.int32)],
-                axis=-1,
-            )
-            fr, fi = self.kiss(fft_in)
-            energy = (fr * fr + fi * fi).astype(jnp.float32)
-            fbank = jnp.matmul(
-                energy, self.fb_matrix,
-                preferred_element_type=jnp.float32, precision=hp,
-            )
-            res = jnp.round(jnp.sqrt(fbank))  # Sqrt64 rounds to nearest
-            return jnp.floor(res / jnp.exp2(shift[..., None]).astype(jnp.float32))
-
+        # per-frame input_shift normalization (frontend.c), then the
+        # bit-exact int32 kiss FFT
+        max_abs = jnp.abs(windowed).max(axis=-1).astype(jnp.uint32)
+        shift = jnp.clip(
+            15 - mi.msb32(max_abs).astype(jnp.int32), 0, 15
+        )
+        scaled = windowed << shift[..., None]
+        pad = self.t.window_size
+        fft_in = jnp.concatenate(
+            [scaled, jnp.zeros((*scaled.shape[:-1], 512 - pad), jnp.int32)],
+            axis=-1,
+        )
+        fr, fi = self.kiss(fft_in)
+        # uint32 energy with C wrap semantics (int16 design range in practice)
+        fr_u = fr.astype(jnp.uint32)
+        fi_u = fi.astype(jnp.uint32)
+        energy_u = fr_u * fr_u + fi_u * fi_u
+        # exact 64-bit filterbank accumulate as six f32 limb matmuls (MXU;
+        # ~4x the gather variant's throughput on TPU), then exact Sqrt64
+        h, l = mi.filterbank_accumulate_mxu(
+            energy_u, self.fb_whi_f32, self.fb_wlo_f32
+        )
+        return mi.sqrt64_exact(h, l) >> shift[..., None].astype(jnp.uint32)
 
     def _base_frames_fast(self, audio_int16: jnp.ndarray) -> jnp.ndarray:
         """Float rFFT stateless prefix (mode="fast"): same windowing on the
@@ -378,8 +394,55 @@ class MicroFrontendJax:
 
     # -- stateful suffix -----------------------------------------------------
 
+    def nr_pcan_log_int(self, signal_u32: jnp.ndarray) -> jnp.ndarray:
+        """(..., F, C) uint32 sqrt-filterbank -> (..., F, C) uint32 features.
+
+        Bit-exact uint32 stateful suffix (mode="exact"): the noise-estimate
+        recurrence runs as a lax.scan (CPU) or a Pallas kernel holding the
+        whole frame loop in VMEM (TPU); subtraction, PCAN gain and log then
+        run vectorized over all frames (ops/micro_int.py semantics notes).
+        """
+        t = self.t
+        x = jnp.moveaxis(signal_u32, -2, 0)  # (F, ..., C)
+        if self.use_pallas:
+            from .pallas_frontend import noise_estimate_scan_u32
+
+            x3 = x.reshape(x.shape[0], -1, x.shape[-1])
+            est_seq = noise_estimate_scan_u32(
+                x3, self.sm_u, self.om_u, t.smoothing_bits
+            ).reshape(x.shape)
+        else:
+
+            def step(est, sig):
+                est = mi.nr_estimate_step(
+                    est, sig, self.sm_u, self.om_u, t.smoothing_bits
+                )
+                return est, est
+
+            est0 = jnp.zeros(x.shape[1:], jnp.uint32)
+            _, est_seq = jax.lax.scan(step, est0, x)
+
+        nr = mi.nr_subtract(x, est_seq, self.msr_u, t.smoothing_bits)
+        if t.enable_pcan:
+            gain = mi.wide_dynamic_function(
+                est_seq, self.wdf_rows_f32, self.lut012_i32
+            )
+            out = mi.pcan_gain(nr, gain, t.snr_shift)
+        else:
+            out = nr
+        if t.enable_log:
+            out = mi.log_scale_int(
+                out, t.correction_bits, t.scale_shift, self.log_pairs_f32
+            )
+        else:
+            out = jnp.minimum(out, jnp.uint32(0xFFFF))
+        return jnp.moveaxis(out, 0, -2)
+
     def nr_pcan_log(self, fbank: jnp.ndarray) -> jnp.ndarray:
         """(..., F, C) sqrt-filterbank -> (..., F, C) final feature values.
+
+        Float (integer-valued f32) suffix used by mode="fast" — exact below
+        2^24, approximate above; mode="exact" takes nr_pcan_log_int.
 
         Only the noise-estimate recurrence is sequential; the scan carries
         just est_t (one multiply-add + floor per frame) and emits the
@@ -517,8 +580,13 @@ class MicroFrontendJax:
 
     # -- public entry points ---------------------------------------------------
 
+    def _suffix(self, base: jnp.ndarray) -> jnp.ndarray:
+        if self.mode == "exact":
+            return self.nr_pcan_log_int(base)
+        return self.nr_pcan_log(base)
+
     def _features_from_int16_impl(self, audio_int16: jnp.ndarray) -> jnp.ndarray:
-        raw = self.nr_pcan_log(self.base_frames(audio_int16))
+        raw = self._suffix(self.base_frames(audio_int16))
         return raw.astype(jnp.float32) * np.float32(10.0 / 256.0)
 
     def features_from_int16(self, audio_int16: jnp.ndarray) -> jnp.ndarray:
@@ -556,7 +624,7 @@ class MicroFrontendJax:
         base = self.base_frames(audio_int16)  # (T, C)
         idx = np.arange(num_windows)[:, None] + np.arange(clip_frames)[None, :]
         windows = base[jnp.asarray(idx.astype(np.int32))]  # (W, F, C)
-        raw = self.nr_pcan_log(windows)
+        raw = self._suffix(windows)
         return raw.astype(jnp.float32) * np.float32(10.0 / 256.0)
 
 

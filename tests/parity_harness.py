@@ -109,6 +109,14 @@ def pretrain_base_model(
     ref = import_reference()
     tf = ref["tf"]
     model = build_keras_base_model(num_labels=len(words), seed=seed)
+    # The real base model trained for many epochs, so its BatchNorm moving
+    # statistics converged. A short fixture pretrain at Keras B0's default
+    # momentum 0.99 leaves the moving stats ~at init, making inference-mode
+    # (frozen-trunk) embeddings garbage on BOTH sides — drop the momentum so
+    # the frozen model behaves like the trained one.
+    for layer in model.layers:
+        if isinstance(layer, tf.keras.layers.BatchNormalization):
+            layer.momentum = 0.8
     files, labels = [], []
     for i, w in enumerate(words):
         files.extend(corpus[w])
@@ -123,6 +131,17 @@ def pretrain_base_model(
     epochs = max(1, int(np.ceil(steps * batch_size / len(files))))
     model.fit(specs, labels, batch_size=batch_size, epochs=epochs, verbose=0,
               shuffle=True)
+    # the fixture is only meaningful if the frozen (inference-mode) model
+    # actually separates the words — evaluate like transfer_learn will use it
+    eval_acc = float(
+        (np.argmax(model.predict(specs, verbose=0), axis=1) == labels).mean()
+    )
+    if eval_acc < 0.9:
+        raise RuntimeError(
+            f"fixture base model inference-mode accuracy {eval_acc:.2f} < 0.9 "
+            "— increase pretrain steps; a non-separating base makes the "
+            "parity comparison meaningless"
+        )
     dest = Path(dest)
     dest.parent.mkdir(parents=True, exist_ok=True)
     model.save(str(dest))

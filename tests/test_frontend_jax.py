@@ -1,12 +1,9 @@
 """Validation of the JAX device frontend vs the bit-exact host frontend,
 plus the streaming shared-base-frames equivalence.
 
-Runs the int32 kiss FFT and integer-emulated NR/PCAN/log: required
->= 99.9% of bins exactly on the reference grid on this battery
-(1 grid step = 10/256 ~= 0.039 on the feature scale). NOTE: on arbitrary
-audio rare isolated bins can deviate further (f32 cancellation in the
-NR scan, see ops/micro_jax.py docstring); bit-parity users should take
-the native C++ frontend.
+mode="exact" (int32 kiss FFT + uint32 filterbank/Sqrt64/NR/PCAN/log,
+ops/micro_int.py) must be 100% bit-exact: every bin identical to the host
+frontend, which is itself golden-pinned to the real TFLite op.
 """
 
 import numpy as np
@@ -48,16 +45,34 @@ def frontends():
     )
 
 
-def test_batch_features_close_to_exact(frontends):
+def test_batch_features_bit_exact(frontends):
     fj, _ = frontends
     batch = make_batch()
     got = np.asarray(fj.features(batch))
     want = np.stack([to_micro_spectrogram_exact(w) for w in batch])
     assert got.shape == want.shape == (6, 49, 40)
     steps = np.abs(got - want) / STEP
-    frac_exact = (steps < 0.5).mean()
-    assert frac_exact >= 0.999, f"only {frac_exact:.4f} bins on-grid"
-    assert steps.max() <= 2.0, f"max deviation {steps.max():.2f} grid steps"
+    n_off = int((steps > 0).sum())
+    assert n_off == 0, f"{n_off} bins off-grid (max {steps.max():.2f} steps)"
+
+
+def test_random_audio_bit_exact(frontends):
+    """Exactness on arbitrary audio (loud noise / near-clipping / quiet),
+    where the round-1 float emulation drifted off-grid."""
+    fj, _ = frontends
+    rng = np.random.default_rng(123)
+    batch = np.stack(
+        [
+            np.clip(rng.normal(0, 0.5, 16000), -1, 1),  # loud noise
+            np.clip(rng.normal(0, 0.9, 16000), -1, 1),  # near clipping
+            np.clip(rng.uniform(-1, 1, 16000), -1, 1),  # full-scale uniform
+            np.sign(np.sin(2 * np.pi * 1000 * np.arange(16000) / 16000.0))
+            * 0.99,  # square wave
+        ]
+    ).astype(np.float32)
+    got = np.asarray(fj.features(batch))
+    want = np.stack([to_micro_spectrogram_exact(w) for w in batch])
+    np.testing.assert_array_equal(got, want)
 
 
 def test_jit_and_vmap_compatible(frontends):
@@ -88,9 +103,7 @@ def test_stream_features_match_per_window(frontends):
     for w in [0, 1, 17, 50, 99]:
         clip = i16[w * 320 : w * 320 + 16000]
         want = fe(clip).astype(np.float32) * STEP
-        steps = np.abs(got[w] - want) / STEP
-        assert (steps < 0.5).mean() >= 0.99
-        assert steps.max() <= 2.0
+        np.testing.assert_array_equal(got[w], want)
 
 
 def test_int16_cast_edge(frontends):
@@ -98,5 +111,4 @@ def test_int16_cast_edge(frontends):
     audio = np.ones((1, 16000), dtype=np.float32)  # +1.0 saturates to 32767
     got = np.asarray(fj.features(audio))
     want = to_micro_spectrogram_exact(np.ones(16000, dtype=np.float32))
-    steps = np.abs(got[0] - want) / STEP
-    assert steps.max() <= 2.0
+    np.testing.assert_array_equal(got[0], want)

@@ -42,3 +42,46 @@ def test_kernel_pads_odd_batches():
         x, sm, nrb - sm, float(1 << 10), nrb, interpret=True
     )
     assert got.shape == (10, 3, 40)
+
+
+def test_u32_kernel_matches_exact_pipeline_interpret():
+    """The uint32 kernel (TPU exact path) must reproduce the host frontend's
+    noise-estimate sequence bit-for-bit (interpret mode on CPU)."""
+    from multilingual_kws_tpu.ops import micro_int as mi
+    from multilingual_kws_tpu.ops.pallas_frontend import noise_estimate_scan_u32
+
+    fe = MicroFrontendJax(FrontendConfig(), use_pallas=False)
+    rng = np.random.default_rng(2)
+    sig = rng.integers(0, 2**24, (49, 5, 40)).astype(np.uint32)
+    x = jnp.asarray(sig)
+
+    got = np.asarray(
+        noise_estimate_scan_u32(x, fe.sm_u, fe.om_u, 10, interpret=True)
+    )
+
+    def step(est, s):
+        est = mi.nr_estimate_step(est, s, fe.sm_u, fe.om_u, 10)
+        return est, est
+
+    _, want = jax.lax.scan(step, jnp.zeros(x.shape[1:], jnp.uint32), x)
+    np.testing.assert_array_equal(got, np.asarray(want))
+
+
+def test_u32_frontend_features_with_pallas_interpret(monkeypatch):
+    """Full exact frontend with the Pallas path forced (interpret mode):
+    features must equal the non-Pallas exact features bit-for-bit."""
+    import multilingual_kws_tpu.ops.pallas_frontend as pf
+
+    orig = pf.noise_estimate_scan_u32
+
+    def interp(x, sm, om, smoothing_bits=10, interpret=False):
+        return orig(x, sm, om, smoothing_bits, interpret=True)
+
+    monkeypatch.setattr(pf, "noise_estimate_scan_u32", interp)
+    rng = np.random.default_rng(3)
+    batch = np.clip(rng.normal(0, 0.3, (2, 16000)), -1, 1).astype(np.float32)
+    fe_pallas = MicroFrontendJax(FrontendConfig(), use_pallas=True)
+    fe_scan = MicroFrontendJax(FrontendConfig(), use_pallas=False)
+    got = np.asarray(fe_pallas.features(batch))
+    want = np.asarray(fe_scan.features(batch))
+    np.testing.assert_array_equal(got, want)
