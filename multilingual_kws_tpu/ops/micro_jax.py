@@ -299,6 +299,14 @@ class MicroFrontendJax:
         w_hi, w_lo = mi.build_filterbank_limb_matrices(fbi, host.spectrum_size)
         self.fb_whi_f32 = jnp.asarray(w_hi)
         self.fb_wlo_f32 = jnp.asarray(w_lo)
+        # input permutation matrices for the fused Pallas frontend kernel:
+        # even/odd complex-substate split + base-4 digit reversal as exact
+        # f32 one-hot matmuls (ops/pallas_fft.py)
+        from .pallas_fft import build_perm_matrices
+
+        pr, pi = build_perm_matrices(t.window_size)
+        self._fft_pr = jnp.asarray(pr)
+        self._fft_pi = jnp.asarray(pi)
         self.sm_u = jnp.asarray(
             np.where(ch % 2 == 0, t.even_smoothing, t.odd_smoothing).astype(
                 np.uint32
@@ -341,28 +349,66 @@ class MicroFrontendJax:
         """
         if self.mode == "fast":
             return self._base_frames_fast(audio_int16)
-        idx = self._frame_indices(audio_int16.shape[-1])
-        frames = jnp.take(audio_int16.astype(jnp.int32), jnp.asarray(idx), axis=-1)
-        # exact integer windowing: (x * w) >> 12 (arithmetic shift); the
-        # result always fits int16 (|x| <= 32767, w <= 4096)
-        windowed = (frames * self.window_coeffs) >> WINDOW_BITS
-        # per-frame input_shift normalization (frontend.c), then the
-        # bit-exact int32 kiss FFT
-        max_abs = jnp.abs(windowed).max(axis=-1).astype(jnp.uint32)
-        shift = jnp.clip(
-            15 - mi.msb32(max_abs).astype(jnp.int32), 0, 15
-        )
-        scaled = windowed << shift[..., None]
-        pad = self.t.window_size
-        fft_in = jnp.concatenate(
-            [scaled, jnp.zeros((*scaled.shape[:-1], 512 - pad), jnp.int32)],
-            axis=-1,
-        )
-        fr, fi = self.kiss(fft_in)
-        # uint32 energy with C wrap semantics (int16 design range in practice)
-        fr_u = fr.astype(jnp.uint32)
-        fi_u = fi.astype(jnp.uint32)
-        energy_u = fr_u * fr_u + fi_u * fi_u
+        t = self.t
+        if self.use_pallas:
+            # Fully fused Pallas frontend kernel (ops/pallas_fft.py):
+            # windowing, input_shift, input permutation, all four FFT
+            # stages and the bin energies run on one VMEM-resident tile.
+            # Framing itself is gather-free: reshape to step-sized rows and
+            # concatenate adjacent rows (window <= 2*step).
+            from .pallas_fft import window_fft_energy
+
+            audio = audio_int16.astype(jnp.int32)
+            lead = audio.shape[:-1]
+            T = audio.shape[-1]
+            win, step = t.window_size, t.window_step
+            assert win <= 2 * step, (win, step)
+            nf = 1 + (T - win) // step if T >= win else 0
+            if nf == 0:
+                return jnp.zeros((*lead, 0, t.num_channels), jnp.uint32)
+            pad_to = (nf + 1) * step
+            if pad_to > T:
+                audio = jnp.pad(
+                    audio, [(0, 0)] * len(lead) + [(0, pad_to - T)]
+                )
+            else:
+                audio = audio[..., :pad_to]
+            a3 = audio.reshape(*lead, nf + 1, step)
+            frames = jnp.concatenate(
+                [a3[..., :nf, :], a3[..., 1 : nf + 1, :]], axis=-1
+            )[..., :win]
+            energy_flat, shift_flat = window_fft_energy(
+                frames.reshape(-1, win),
+                self.window_coeffs,
+                self._fft_pr,
+                self._fft_pi,
+                window_bits=WINDOW_BITS,
+            )
+            energy_u = energy_flat.reshape(*lead, nf, 257)
+            shift = shift_flat.reshape(*lead, nf).astype(jnp.int32)
+        else:
+            idx = self._frame_indices(audio_int16.shape[-1])
+            frames = jnp.take(
+                audio_int16.astype(jnp.int32), jnp.asarray(idx), axis=-1
+            )
+            # exact integer windowing: (x * w) >> 12 (arithmetic shift); the
+            # result always fits int16 (|x| <= 32767, w <= 4096)
+            windowed = (frames * self.window_coeffs) >> WINDOW_BITS
+            # per-frame input_shift normalization (frontend.c), then the
+            # bit-exact int32 kiss FFT
+            max_abs = jnp.abs(windowed).max(axis=-1).astype(jnp.uint32)
+            shift = jnp.clip(15 - mi.msb32(max_abs).astype(jnp.int32), 0, 15)
+            scaled = windowed << shift[..., None]
+            pad = t.window_size
+            fft_in = jnp.concatenate(
+                [scaled, jnp.zeros((*scaled.shape[:-1], 512 - pad), jnp.int32)],
+                axis=-1,
+            )
+            fr, fi = self.kiss(fft_in)
+            # uint32 energy with C wrap semantics (int16 design range)
+            fr_u = fr.astype(jnp.uint32)
+            fi_u = fi.astype(jnp.uint32)
+            energy_u = fr_u * fr_u + fi_u * fi_u
         # exact 64-bit filterbank accumulate as six f32 limb matmuls (MXU;
         # ~4x the gather variant's throughput on TPU), then exact Sqrt64
         h, l = mi.filterbank_accumulate_mxu(

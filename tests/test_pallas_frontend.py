@@ -69,7 +69,9 @@ def test_u32_kernel_matches_exact_pipeline_interpret():
 
 def test_u32_frontend_features_with_pallas_interpret(monkeypatch):
     """Full exact frontend with the Pallas path forced (interpret mode):
-    features must equal the non-Pallas exact features bit-for-bit."""
+    features must equal the non-Pallas exact features bit-for-bit. Covers
+    both the fused window+FFT+energy kernel and the u32 NR kernel."""
+    import multilingual_kws_tpu.ops.pallas_fft as pfft
     import multilingual_kws_tpu.ops.pallas_frontend as pf
 
     orig = pf.noise_estimate_scan_u32
@@ -78,6 +80,13 @@ def test_u32_frontend_features_with_pallas_interpret(monkeypatch):
         return orig(x, sm, om, smoothing_bits, interpret=True)
 
     monkeypatch.setattr(pf, "noise_estimate_scan_u32", interp)
+
+    orig_wfe = pfft.window_fft_energy
+
+    def interp_wfe(frames, win, pr, pi, window_bits=12, interpret=False):
+        return orig_wfe(frames, win, pr, pi, window_bits, interpret=True)
+
+    monkeypatch.setattr(pfft, "window_fft_energy", interp_wfe)
     rng = np.random.default_rng(3)
     batch = np.clip(rng.normal(0, 0.3, (2, 16000)), -1, 1).astype(np.float32)
     fe_pallas = MicroFrontendJax(FrontendConfig(), use_pallas=True)
