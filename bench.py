@@ -126,7 +126,247 @@ def get_baseline() -> float:
         return float("nan")
 
 
+def _tone_clip(freq: float, seed: int, sr: int = 16000) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    t = np.arange(sr) / sr
+    env = np.exp(-(((t - 0.5) / 0.18) ** 2))
+    x = 0.4 * env * np.sin(2 * np.pi * freq * (1 + 0.01 * rng.normal()) * t)
+    return np.clip(x + rng.normal(0, 0.01, sr), -1, 1).astype(np.float32)
+
+
+def measure_fewshot_wallclock(tmp) -> dict:
+    """BASELINE config #1: 5-shot fine-tune + eval wall-clock (reference
+    defaults: 4 epochs x 1 batch x bs 64, LR 1e-3, unknown% 50)."""
+    from pathlib import Path
+
+    from multilingual_kws_tpu.train.evaluate import evaluate_fast_single_target
+    from multilingual_kws_tpu.train.finetune import transfer_learn
+    from multilingual_kws_tpu.utils.wav import write_wav
+
+    tmp = Path(tmp)
+    paths = {}
+    for w, freq in (("target", 440.0), ("other", 1200.0)):
+        files = []
+        for i in range(12):
+            p = tmp / w / f"{i}.wav"
+            p.parent.mkdir(parents=True, exist_ok=True)
+            write_wav(p, _tone_clip(freq, seed=hash((w, i)) % 2**31))
+            files.append(str(p))
+        paths[w] = files
+
+    def run(seed):
+        t0 = time.perf_counter()
+        res = transfer_learn(
+            target="target",
+            train_files=paths["target"][:5],
+            val_files=paths["target"][5:],
+            unknown_files=paths["other"],
+            num_epochs=4,
+            num_batches=1,
+            batch_size=64,
+            primary_lr=1e-3,
+            seed=seed,
+            verbose=0,
+        )
+        evaluate_fast_single_target(paths["target"][5:], 2, res.predict_fn())
+        return time.perf_counter() - t0
+
+    cold = run(0)  # includes jit compilation
+    warm = run(1)  # steady-state (e.g. batch jobs over many keywords)
+    return {
+        "metric": "5-shot fine-tune + eval wall-clock (config 1; 4x1x64, LR 1e-3)",
+        "cold_s": round(cold, 2),
+        "warm_s": round(warm, 2),
+        "unit": "seconds",
+    }
+
+
+def measure_streaming_rtf(tmp) -> dict:
+    """BASELINE config #5: streaming detection over ~10 min of audio with a
+    19-point threshold sweep; reports the real-time factor."""
+    from pathlib import Path
+
+    import jax
+
+    from multilingual_kws_tpu.models.kws_model import make_transfer_model
+    from multilingual_kws_tpu.stream.engine import (
+        StreamFlags,
+        calculate_streaming_accuracy,
+    )
+    from multilingual_kws_tpu.tools.stream_synth import (
+        synthesize_stream,
+        write_stream,
+    )
+
+    tmp = Path(tmp)
+    targets = [_tone_clip(440.0, seed=s) for s in range(6)]
+    distractors = [_tone_clip(900.0 + 80 * s, seed=100 + s) for s in range(8)]
+    spec = synthesize_stream(
+        "target", targets, distractors, num_targets=120, num_distractors=280,
+        gap_ms_range=(200, 900), noise_rms=0.003, seed=7,
+    )
+    wav = tmp / "stream.wav"
+    labels = tmp / "labels.txt"
+    write_stream(spec, wav, labels)
+    audio_s = spec.waveform.shape[0] / spec.sample_rate
+
+    import jax.numpy as jnp
+
+    model = make_transfer_model(num_categories=3)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 49, 40, 1)), train=False
+    )
+    predict = jax.jit(
+        lambda s: jax.nn.softmax(model.apply(variables, s, train=False), axis=-1)
+    )
+    thresholds = [round(0.05 * i, 2) for i in range(1, 20)]
+    flags = StreamFlags(
+        wav=str(wav), ground_truth=str(labels), target_keyword="target",
+        detection_thresholds=thresholds,
+    )
+    # warm: compile featurization + model at the bench batch shape
+    calculate_streaming_accuracy(predict, [flags], verbose=False)
+    t0 = time.perf_counter()
+    calculate_streaming_accuracy(predict, [flags], verbose=False)
+    dt = time.perf_counter() - t0
+    return {
+        "metric": "streaming KWS over long-form audio, 19-threshold sweep (config 5)",
+        "audio_seconds": round(audio_s, 1),
+        "wall_seconds": round(dt, 2),
+        "real_time_factor": round(audio_s / dt, 1),
+        "unit": "x real-time",
+    }
+
+
+def measure_decomposition() -> list:
+    """Frontend-vs-model cost split, bf16 model variant, and MFU."""
+    import jax
+    import jax.numpy as jnp
+
+    from multilingual_kws_tpu.models.kws_model import make_embedding_model
+    from multilingual_kws_tpu.ops.micro_exact import FrontendConfig
+    from multilingual_kws_tpu.ops.micro_jax import MicroFrontendJax
+
+    model = make_embedding_model(num_labels=761)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 49, 40, 1), jnp.float32), train=False
+    )
+    frontend = MicroFrontendJax(FrontendConfig())
+    rng_np = np.random.default_rng(0)
+    audio = jax.device_put(
+        rng_np.normal(0, 0.1, (BATCH, 16000)).astype(np.float32).clip(-1, 1)
+    )
+    specs = jax.device_put(
+        rng_np.normal(0, 2.0, (BATCH, 49, 40, 1)).astype(np.float32)
+    )
+
+    def pipelined(f, *a, iters=6):
+        f(*a)
+        jax.block_until_ready(f(*a))
+        t0 = time.perf_counter()
+        outs = [f(*a) for _ in range(iters)]
+        jax.block_until_ready(outs)
+        return BATCH * iters / (time.perf_counter() - t0)
+
+    fe_j = jax.jit(frontend._features_impl)
+    fe_clips = pipelined(fe_j, audio)
+
+    bf16_vars = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if isinstance(x, jax.Array) and x.dtype == jnp.float32
+        else x,
+        variables,
+    )
+    f32_j = jax.jit(lambda s: model.apply(variables, s, train=False))
+    bf16_j = jax.jit(
+        lambda s: model.apply(
+            bf16_vars, s.astype(jnp.bfloat16), train=False
+        ).astype(jnp.float32)
+    )
+    m_f32 = pipelined(f32_j, specs)
+    m_bf16 = pipelined(bf16_j, specs)
+
+    # model FLOPs from the compiled executable, MFU vs v5e peak
+    cost = f32_j.lower(specs).compile().cost_analysis()
+    flops_per_clip = float(cost.get("flops", 0.0)) / BATCH
+    peak_f32, peak_bf16 = 4.9e13, 1.97e14  # TPU v5e
+    full_bf16 = 1.0 / (1.0 / fe_clips + 1.0 / m_bf16)
+    return [
+        {
+            "metric": "frontend only (bit-exact, fused Pallas), pipelined bs 2048",
+            "value": round(fe_clips, 0), "unit": "clips/sec",
+        },
+        {
+            "metric": "EfficientNetB0 761-way forward only, f32, pipelined bs 2048",
+            "value": round(m_f32, 0), "unit": "clips/sec",
+            "flops_per_clip": round(flops_per_clip / 1e6, 1),
+            "mfu_vs_f32_peak": round(m_f32 * flops_per_clip / peak_f32, 4),
+        },
+        {
+            "metric": "EfficientNetB0 761-way forward only, bf16, pipelined bs 2048",
+            "value": round(m_bf16, 0), "unit": "clips/sec",
+            "mfu_vs_bf16_peak": round(m_bf16 * flops_per_clip / peak_bf16, 4),
+        },
+        {
+            "metric": "frontend+embed composed bound with bf16 model (1/(1/fe+1/m))",
+            "value": round(full_bf16, 0), "unit": "clips/sec",
+        },
+    ]
+
+
+def run_extra() -> None:
+    """Regenerate benchmarks/extra_metrics.json (configs 1, 5, decomposition,
+    bf16 variant, MFU). Slow (~5 min incl. compiles); run manually."""
+    import datetime
+    import tempfile
+
+    ours = measure_ours()
+    base = get_baseline()
+    metrics = [
+        {
+            "metric": "frontend+EfficientNetB0 embed throughput, pipelined (bs 2048, bit-exact frontend)",
+            "value": round(ours, 0), "unit": "clips/sec",
+            "vs_tf_cpu_baseline": round(ours / base, 0) if base == base else None,
+        }
+    ]
+    metrics += measure_decomposition()
+    with tempfile.TemporaryDirectory(prefix="bench_extra_") as tmp:
+        metrics.append(measure_fewshot_wallclock(tmp))
+        metrics.append(measure_streaming_rtf(tmp))
+    metrics.append(
+        {
+            "metric": "761-way EfficientNetB0 pretrain step (bs 512, fwd+bwd+adam+BN)",
+            "value": 16.6, "unit": "ms/step", "clips_per_sec": 30935,
+            "measured": "round 1",
+        }
+    )
+    metrics.append(
+        {
+            "metric": "exact-frontend history (bs 2048 full pipeline)",
+            "round1_float_emulation_offgrid": 68533,
+            "round2_int_unfused": 53021,
+            "round2_int_fused_pallas": round(ours, 0),
+            "unit": "clips/sec",
+            "note": "round-2 paths are bit-exact vs the reference op; round 1 was not",
+        }
+    )
+    out = {
+        "measured": f"{datetime.date.today()}, one TPU v5e chip via tunnel",
+        "metrics": metrics,
+        "baseline": (
+            "TF-CPU reference pipeline (per-clip microfrontend op + Keras "
+            "EfficientNetB0 predict): 23.8 clips/sec (benchmarks/ref_baseline.json)"
+        ),
+    }
+    path = REPO / "benchmarks" / "extra_metrics.json"
+    path.write_text(json.dumps(out, indent=1))
+    print(json.dumps(out, indent=1))
+
+
 def main():
+    if "--extra" in sys.argv:
+        run_extra()
+        return
     ours = measure_ours()
     base = get_baseline()
     vs = ours / base if base == base else None
