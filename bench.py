@@ -139,7 +139,7 @@ def measure_fewshot_wallclock(tmp) -> dict:
     defaults: 4 epochs x 1 batch x bs 64, LR 1e-3, unknown% 50)."""
     from pathlib import Path
 
-    from multilingual_kws_tpu.train.evaluate import evaluate_fast_single_target
+    from multilingual_kws_tpu.train.evaluate import evaluate_files_single_target
     from multilingual_kws_tpu.train.finetune import transfer_learn
     from multilingual_kws_tpu.utils.wav import write_wav
 
@@ -153,6 +153,14 @@ def measure_fewshot_wallclock(tmp) -> dict:
             write_wav(p, _tone_clip(freq, seed=hash((w, i)) % 2**31))
             files.append(str(p))
         paths[w] = files
+    bg_dir = tmp / "_background_noise_"
+    bg_dir.mkdir(exist_ok=True)
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        write_wav(
+            bg_dir / f"noise_{i}.wav",
+            np.clip(rng.normal(0, 0.05, 3 * 16000), -1, 1).astype(np.float32),
+        )
 
     def run(seed):
         t0 = time.perf_counter()
@@ -165,10 +173,11 @@ def measure_fewshot_wallclock(tmp) -> dict:
             num_batches=1,
             batch_size=64,
             primary_lr=1e-3,
+            bg_datadir=str(bg_dir),
             seed=seed,
             verbose=0,
         )
-        evaluate_fast_single_target(paths["target"][5:], 2, res.predict_fn())
+        evaluate_files_single_target(paths["target"][5:], 2, res.predict_fn())
         return time.perf_counter() - t0
 
     cold = run(0)  # includes jit compilation
@@ -320,6 +329,7 @@ def run_extra() -> None:
     import datetime
     import tempfile
 
+    print("# extra: measuring pipeline...", file=sys.stderr, flush=True)
     ours = measure_ours()
     base = get_baseline()
     metrics = [
@@ -329,9 +339,12 @@ def run_extra() -> None:
             "vs_tf_cpu_baseline": round(ours / base, 0) if base == base else None,
         }
     ]
+    print("# extra: decomposition...", file=sys.stderr, flush=True)
     metrics += measure_decomposition()
     with tempfile.TemporaryDirectory(prefix="bench_extra_") as tmp:
+        print("# extra: 5-shot wall-clock...", file=sys.stderr, flush=True)
         metrics.append(measure_fewshot_wallclock(tmp))
+        print("# extra: streaming RTF...", file=sys.stderr, flush=True)
         metrics.append(measure_streaming_rtf(tmp))
     metrics.append(
         {

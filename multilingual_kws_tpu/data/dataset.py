@@ -36,6 +36,21 @@ from ..settings import (
 from ..utils.wav import read_wav
 
 
+def file2spec(model_settings, filepath) -> np.ndarray:
+    """One wav path -> (49, 40) float32 features (reference file2spec,
+    input_data.py:38-47 — part of the tutorial's public API contract,
+    intro notebook cell 13). Batch work should use
+    train/evaluate.featurize_files instead."""
+    audio, _ = read_wav(filepath, desired_samples=model_settings.desired_samples)
+    fe = _file2spec_frontend(model_settings.sample_rate)
+    return np.asarray(fe.features(audio[None, :])[0])
+
+
+@functools.lru_cache(maxsize=4)
+def _file2spec_frontend(sample_rate: int) -> MicroFrontendJax:
+    return MicroFrontendJax(FrontendConfig(sample_rate=sample_rate))
+
+
 def load_background_bank(background_dir) -> Tuple[np.ndarray, np.ndarray]:
     """All background wavs into one padded array (reference
     get_background_data, input_data.py:375-394)."""

@@ -94,6 +94,27 @@ def import_keras_kws_model(keras_model) -> Dict[str, Any]:
       num_outputs   width of the final dense layer
     """
     by_name = _keras_weights_by_layer(keras_model)
+    dense_order = []
+    seen = set()
+    for layer in _iter_leaf_layers(keras_model):
+        if layer.__class__.__name__ != "Dense":
+            continue
+        name = layer.name
+        while name in seen:
+            name += "#"
+        seen.add(name)
+        if name in by_name:
+            dense_order.append(name)
+    return _import_weight_map(by_name, dense_order)
+
+
+def _import_weight_map(
+    by_name: Dict[str, list], dense_order: list
+) -> Dict[str, Any]:
+    """Core layer-name -> Flax-tree mapping shared by the live-Keras and
+    name-based SavedModel import paths. by_name holds each layer's weights
+    in Keras get_weights() order; dense_order lists dense layer names in
+    graph order."""
 
     trunk_p: Dict[str, Any] = {}
     trunk_s: Dict[str, Any] = {}
@@ -150,17 +171,7 @@ def import_keras_kws_model(keras_model) -> Dict[str, Any]:
             # block*_drop / activations carry no weights
 
     # dense layers in graph order (leaf-flattened for nested transfer models)
-    dense_layers = []
-    seen = set()
-    for layer in _iter_leaf_layers(keras_model):
-        if layer.__class__.__name__ != "Dense":
-            continue
-        name = layer.name
-        while name in seen:
-            name += "#"
-        seen.add(name)
-        if name in by_name:
-            dense_layers.append((name, _dense(by_name[name])))
+    dense_layers = [(name, _dense(by_name[name])) for name in dense_order]
     if len(dense_layers) == 4:  # embedding model: 1024, 1024, 192, logits
         kind = "embedding"
         head = {
@@ -214,6 +225,63 @@ def load_keras_model(path):
     return tf.keras.models.load_model(path, compile=False)
 
 
+# within-layer ordering of named variables == Keras get_weights() order
+_WEIGHT_RANK = {
+    "kernel": 0, "depthwise_kernel": 0, "gamma": 0,  # conv/dense/bn first slot
+    "bias": 1, "beta": 1,
+    "moving_mean": 2, "moving_variance": 3,
+    "mean": 0, "variance": 1, "count": 2,  # Normalization layer
+}
+
+
+def import_savedmodel_kws_model(path) -> Dict[str, Any]:
+    """Name-based import of a TF SavedModel directory (the format the
+    reference's released `multilingual_context_73_0.8011` checkpoint ships
+    in, docker/Dockerfile:83-84).
+
+    Keras 3 cannot `load_model` legacy Keras SavedModels, but
+    `tf.saved_model.load` exposes every variable with its layer-pathed name
+    (e.g. `block1a_dwconv/depthwise_kernel:0`); layer identity and
+    within-layer ordering reconstruct exactly from those names, feeding the
+    same mapping as the live-Keras path. Works for legacy Keras
+    SavedModels and Keras-3 `model.export()` artifacts alike.
+    """
+    import tensorflow as tf
+
+    tf.config.set_visible_devices([], "GPU")
+    obj = tf.saved_model.load(str(path))
+    grouped: Dict[str, list] = {}
+    for v in obj.variables:
+        name = v.name.split(":")[0]
+        parts = name.split("/")
+        if len(parts) < 2:
+            continue
+        layer, weight = parts[-2], parts[-1]
+        if weight not in _WEIGHT_RANK:
+            continue
+        grouped.setdefault(layer, []).append((_WEIGHT_RANK[weight], np.asarray(v)))
+    by_name = {
+        layer: [w for _, w in sorted(ws, key=lambda t: t[0])]
+        for layer, ws in grouped.items()
+    }
+
+    def dense_sort_key(name: str):
+        # Keras auto-names record creation order: dense, dense_1, dense_2, ...
+        suffix = name.split("dense_")[-1]
+        return int(suffix) if suffix.isdigit() else -1
+
+    dense_order = sorted(
+        (
+            n
+            for n, w in by_name.items()
+            if n.split("/")[-1].startswith("dense")
+            and len(w) == 2 and w[0].ndim == 2 and w[1].ndim == 1
+        ),
+        key=dense_sort_key,
+    )
+    return _import_weight_map(by_name, dense_order)
+
+
 def import_tf_checkpoint(
     path,
 ) -> Tuple[Any, Dict[str, Any], Dict[str, Any], Dict[str, Any]]:
@@ -222,10 +290,19 @@ def import_tf_checkpoint(
     Builds the matching Flax module (KWSEmbeddingModel or KWSTransferModel
     with the folded input preprocessing) and returns ready-to-use variables.
     """
+    import os
+
     from .efficientnet import EfficientNetB0
     from .kws_model import KWSEmbeddingModel, KWSTransferModel
 
-    imported = import_keras_kws_model(load_keras_model(path))
+    if os.path.isdir(path) and os.path.exists(
+        os.path.join(path, "saved_model.pb")
+    ):
+        # TF SavedModel directory (the released-checkpoint format): Keras 3
+        # cannot load_model these — import by variable name instead
+        imported = import_savedmodel_kws_model(path)
+    else:
+        imported = import_keras_kws_model(load_keras_model(path))
     trunk = EfficientNetB0(
         input_scale=imported["input_scale"], input_bias=imported["input_bias"]
     )

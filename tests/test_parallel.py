@@ -122,3 +122,24 @@ def test_sharded_predict_matches_single_device():
         b = sharded(specs)
         assert b.shape == a.shape
         np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-4)
+
+
+def test_initialize_distributed_single_process_noop(monkeypatch):
+    """Single-process contract: initialize_distributed must be a no-op (no
+    jax.distributed.initialize call) unless a coordinator is configured or
+    multiple processes exist (mesh.py)."""
+    import multilingual_kws_tpu.parallel.mesh as meshlib
+
+    calls = []
+    monkeypatch.setattr(
+        meshlib.jax.distributed, "initialize",
+        lambda **kw: calls.append(kw),
+    )
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    meshlib.initialize_distributed()
+    assert calls == []
+
+    # with a coordinator address configured it must delegate, passing kwargs
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "localhost:1234")
+    meshlib.initialize_distributed(num_processes=2, process_id=0)
+    assert calls == [dict(num_processes=2, process_id=0)]
