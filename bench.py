@@ -247,6 +247,130 @@ def measure_streaming_rtf(tmp) -> dict:
     }
 
 
+def measure_pretrain_e2e(tmp) -> dict:
+    """End-to-end 761-way pretraining throughput at bs 512 INCLUDING the
+    host input pipeline (wav loads + batch assembly + augment dispatch),
+    sync vs prefetch (data/pipeline.py) — vs the 16.6 ms/step pure-compute
+    bound. The VERDICT-r1 target: e2e >= 80% of the compute bound."""
+    from pathlib import Path
+
+    import jax
+
+    from multilingual_kws_tpu.data.dataset import AudioDataset
+    from multilingual_kws_tpu.models.kws_model import make_embedding_model
+    from multilingual_kws_tpu.parallel import mesh as meshlib
+    from multilingual_kws_tpu.settings import standard_microspeech_model_settings
+    from multilingual_kws_tpu.train.pretrain import build_pretrain_step
+    from multilingual_kws_tpu.train.steps import adam
+    from multilingual_kws_tpu.utils.wav import write_wav
+
+    tmp = Path(tmp)
+    words = [f"w{i:02d}" for i in range(16)]
+    files, labels = [], []
+    for wi, w in enumerate(words):
+        d = tmp / "clips" / w
+        d.mkdir(parents=True, exist_ok=True)
+        for i in range(32):
+            p = d / f"{i}.wav"
+            write_wav(p, _tone_clip(300.0 + 45 * wi, seed=wi * 100 + i))
+            files.append(str(p))
+            labels.append(w)
+    bg_dir = tmp / "_background_noise_"
+    bg_dir.mkdir(exist_ok=True)
+    rng = np.random.default_rng(1)
+    for i in range(2):
+        write_wav(
+            bg_dir / f"noise_{i}.wav",
+            np.clip(rng.normal(0, 0.05, 3 * 16000), -1, 1).astype(np.float32),
+        )
+
+    settings = standard_microspeech_model_settings(len(words) + 1)
+    mesh = meshlib.make_mesh()
+    dataset = AudioDataset(
+        model_settings=settings, commands=words,
+        background_data_dir=bg_dir, unknown_files=[],
+        silence_percentage=1.0, seed=0,
+        input_sharding=meshlib.batch_sharding(mesh),
+    )
+    model = make_embedding_model(num_labels=761)
+    tx = adam(1e-3)
+    init_fn, step_fn, _ = build_pretrain_step(model, tx, mesh)
+    import jax.numpy as jnp
+
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 49, 40, 1), jnp.float32), train=False
+    )
+    BS, STEPS = 512, 12
+    key = jax.device_put(jax.random.PRNGKey(1))
+    split_fn = jax.jit(lambda k: tuple(jax.random.split(k)))
+
+    from multilingual_kws_tpu.train.pretrain import build_fused_resident_step
+
+    bank = dataset.build_resident_bank(files)
+    fused = build_fused_resident_step(model, tx, mesh, dataset)
+
+    def run_epoch(mode):
+        nonlocal key
+
+        def batches(steps):
+            if mode == "resident":
+                return dataset.train_batches_resident(
+                    files, batch_size=BS, num_steps=steps, labels=labels,
+                    single_target=False, bank=bank,
+                )
+            return dataset.train_batches(
+                files, batch_size=BS, num_steps=steps, labels=labels,
+                single_target=False, prefetch=2 if mode == "prefetch" else 0,
+            )
+
+        def run_steps(steps):
+            nonlocal key, state
+            if mode == "resident_fused":
+                for paths, lbl, sil in dataset.host_train_paths(
+                    files, batch_size=BS, num_steps=steps, labels=labels,
+                    single_target=False,
+                ):
+                    idx = np.array(
+                        [0 if p is None else bank["index"][p] for p in paths],
+                        dtype=np.int32,
+                    )
+                    idx, lbl, sil = dataset._put_batch((idx, lbl, sil))
+                    key, sub = split_fn(key)
+                    state, _ = fused(
+                        state, bank["bank"], idx, sil, lbl,
+                        dataset._next_key(), sub,
+                    )
+            else:
+                for specs, lbl in batches(steps):
+                    key, sub = split_fn(key)
+                    state, _ = step_fn(state, specs, lbl, sub)
+
+        with mesh:
+            state = init_fn(meshlib.replicate(mesh, variables))
+            # warmup: compile augment+frontend and train step, fill wav cache
+            run_steps(3)
+            jax.block_until_ready(state.params)
+            t0 = time.perf_counter()
+            run_steps(STEPS)
+            jax.block_until_ready(state.params)
+            return BS * STEPS / (time.perf_counter() - t0)
+
+    sync = run_epoch("sync")
+    pref = run_epoch("prefetch")
+    res = run_epoch("resident")
+    res_fused = run_epoch("resident_fused")
+    compute_bound = 30935  # 16.6 ms/step at bs 512, round 1 (train step only)
+    return {
+        "metric": "761-way pretrain END-TO-END incl. input pipeline (bs 512)",
+        "stream_sync_clips_per_sec": round(sync, 0),
+        "stream_prefetch2_clips_per_sec": round(pref, 0),
+        "hbm_resident_clips_per_sec": round(res, 0),
+        "hbm_resident_fused_clips_per_sec": round(res_fused, 0),
+        "unit": "clips/sec",
+        "pct_of_train_step_bound": round(100 * res_fused / compute_bound, 1),
+    }
+
+
 def measure_decomposition() -> list:
     """Frontend-vs-model cost split, bf16 model variant, and MFU."""
     import jax
@@ -346,6 +470,9 @@ def run_extra() -> None:
         metrics.append(measure_fewshot_wallclock(tmp))
         print("# extra: streaming RTF...", file=sys.stderr, flush=True)
         metrics.append(measure_streaming_rtf(tmp))
+    with tempfile.TemporaryDirectory(prefix="bench_pretrain_") as tmp:
+        print("# extra: pretrain e2e...", file=sys.stderr, flush=True)
+        metrics.append(measure_pretrain_e2e(tmp))
     metrics.append(
         {
             "metric": "761-way EfficientNetB0 pretrain step (bs 512, fwd+bwd+adam+BN)",

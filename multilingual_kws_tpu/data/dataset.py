@@ -33,7 +33,7 @@ from ..settings import (
     UNKNOWN_WORD_LABEL,
     ModelSettings,
 )
-from ..utils.wav import read_wav
+from ..utils.wav import read_wav, read_wav_int16
 
 
 def file2spec(model_settings, filepath) -> np.ndarray:
@@ -85,7 +85,13 @@ class AudioDataset:
         spec_aug_params: SpecAugParams = SpecAugParams(),
         seed: Optional[int] = None,
         frontend: Optional[MicroFrontendJax] = None,
+        input_sharding=None,
     ):
+        # input_sharding (a NamedSharding over the batch axis): device_put
+        # waveform batches directly as sharded global arrays so augmentation
+        # + featurization are partitioned over the mesh by XLA — one upload,
+        # no per-device reshard (train/pretrain.py passes it)
+        self.input_sharding = input_sharding
         self.model_settings = model_settings
         self.unknown_files = list(unknown_files)
         self.unknown_percentage = unknown_percentage
@@ -122,15 +128,24 @@ class AudioDataset:
 
         seed_val = seed if seed is not None else np.random.SeedSequence().entropy % (2**31)
         self.host_rng = np.random.default_rng(seed_val)
-        self.key = jax.random.PRNGKey(seed_val % (2**31))
+        # device-resident key + jitted split: an eager split of a
+        # host-resident key costs a full host->device round trip PER STEP
+        # (~36 ms through a tunnel); chained jitted splits are ~0.05 ms
+        self.key = jax.device_put(jax.random.PRNGKey(seed_val % (2**31)))
+        self._split_fn = jax.jit(lambda k: tuple(jax.random.split(k)))
         self._wav_cache: Dict[str, np.ndarray] = {}
 
         self._train_device_fn = jax.jit(self._train_device)
+        self._train_device_resident_fn = jax.jit(self._train_device_resident)
         self._eval_device_fn = jax.jit(self._eval_device)
 
     # -- device functions -----------------------------------------------------
 
     def _train_device(self, key, waveforms, is_silence):
+        # waveforms arrive as int16 PCM (half the host->device bytes);
+        # /32768 in f32 is exact, so this matches the read_wav float path
+        # bit for bit
+        waveforms = waveforms.astype(jnp.float32) * (1.0 / 32768.0)
         k_aug, k_spec = jax.random.split(key)
         wav = augment_waveforms(
             k_aug, waveforms, is_silence, self.bg_data, self.bg_sizes,
@@ -140,15 +155,25 @@ class AudioDataset:
         specs = spec_augment(k_spec, specs, self.aug_params.spec_aug)
         return specs[..., None]  # add channel dim
 
+    def _train_device_resident(self, key, bank, idx, is_silence):
+        # batch assembly on device: gather rows from the HBM-resident bank,
+        # zero the silence rows (streaming path ships them as zeros), then
+        # the same augment+featurize — bit-identical to _train_device
+        wav = jnp.where(is_silence[:, None], jnp.int16(0), bank[idx])
+        return self._train_device(key, wav, is_silence)
+
     def _eval_device(self, waveforms):
+        waveforms = waveforms.astype(jnp.float32) * (1.0 / 32768.0)
         return self.frontend.features(waveforms)[..., None]
 
     # -- host helpers -----------------------------------------------------------
 
     def _load(self, path: str) -> np.ndarray:
+        """Clip as int16 PCM (cached): the device path casts to float on
+        chip — half the cache memory and host->device bandwidth of f32."""
         cached = self._wav_cache.get(path)
         if cached is None:
-            cached, _ = read_wav(
+            cached, _ = read_wav_int16(
                 path, desired_samples=self.model_settings.desired_samples
             )
             if len(self._wav_cache) < 4096:
@@ -156,7 +181,7 @@ class AudioDataset:
         return cached
 
     def _next_key(self):
-        self.key, sub = jax.random.split(self.key)
+        self.key, sub = self._split_fn(self.key)
         return sub
 
     # -- public pipelines --------------------------------------------------------
@@ -168,13 +193,130 @@ class AudioDataset:
         num_steps: int,
         labels: Optional[Sequence[str]] = None,
         single_target: bool = True,
+        prefetch: int = 0,
     ) -> Iterator[Tuple[jnp.ndarray, jnp.ndarray]]:
         """Infinite-shuffle training batches: yields (specs (B,T,F,1), label_ids).
 
         single_target=True mimics init_single_target (label = last command,
         input_data.py:447-471); otherwise labels come from the parallel
         ``labels`` list (init_from_parent_dir semantics).
+
+        prefetch>0 assembles host batches that many steps ahead on a
+        background thread (data/pipeline.py), overlapping wav IO with the
+        device step — the tf.data AUTOTUNE role (input_data.py:452-471).
+        Batches are bit-identical either way (single producer thread keeps
+        the host RNG draw order).
         """
+        host = self.host_train_batches(
+            files, batch_size, num_steps, labels=labels,
+            single_target=single_target,
+        )
+        # the device transfer rides the producer thread when prefetching, so
+        # the (tunnel-expensive) host->device copy overlaps the train step
+        transfer = map(self._put_batch, host)
+        if prefetch > 0:
+            from .pipeline import prefetch as _prefetch
+
+            transfer = _prefetch(transfer, size=prefetch)
+        for batch_wav, batch_lbl, batch_sil in transfer:
+            specs = self._train_device_fn(
+                self._next_key(), batch_wav, batch_sil
+            )
+            yield specs, batch_lbl
+
+    def _put_batch(self, batch):
+        # one device_put call for all three arrays (one dispatch latency)
+        return jax.device_put(tuple(batch), self.input_sharding)
+
+    # -- device-resident training data ---------------------------------------
+
+    def build_resident_bank(self, files: Sequence[str]):
+        """Upload every unique training clip (plus unknowns) ONCE as an
+        int16 (N, samples) device array, replicated over the mesh.
+
+        The TPU-native answer to host->device bandwidth being the
+        pretraining bottleneck: the training set is finite and reused every
+        epoch, so it lives in HBM and batches are assembled by on-device
+        gather — the per-step upload is just indices (~KBs instead of MBs).
+        100k one-second clips = 3.2 GB int16, well inside a v5e's 16 GB.
+        Returns {"bank": device array, "index": {path: row}}.
+        """
+        uniq = list(dict.fromkeys(list(files) + list(self.unknown_files)))
+        arr = np.stack([self._load(f) for f in uniq])
+        if self.input_sharding is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            repl = NamedSharding(self.input_sharding.mesh, PartitionSpec())
+            bank = jax.device_put(arr, repl)
+        else:
+            bank = jax.device_put(arr)
+        return {"bank": bank, "index": {f: i for i, f in enumerate(uniq)}}
+
+    def train_batches_resident(
+        self,
+        files: Sequence[str],
+        batch_size: int,
+        num_steps: int,
+        labels: Optional[Sequence[str]] = None,
+        single_target: bool = True,
+        bank=None,
+    ) -> Iterator[Tuple[jnp.ndarray, jnp.ndarray]]:
+        """train_batches with the audio already in HBM (build_resident_bank):
+        same draws, same augmentation, same specs — but each step uploads
+        only (indices, labels, silence flags). Silence rows gather row 0 and
+        are zeroed on device by the is_silence mask."""
+        bank = bank or self.build_resident_bank(files)
+        row = bank["index"]
+        bank_arr = bank["bank"]
+        for paths, lbl, sil in self.host_train_paths(
+            files, batch_size, num_steps, labels=labels,
+            single_target=single_target,
+        ):
+            idx = np.array(
+                [0 if p is None else row[p] for p in paths], dtype=np.int32
+            )
+            idx, lbl, sil = self._put_batch((idx, lbl, sil))
+            specs = self._train_device_resident_fn(
+                self._next_key(), bank_arr, idx, sil
+            )
+            yield specs, lbl
+
+    def host_train_batches(
+        self,
+        files: Sequence[str],
+        batch_size: int,
+        num_steps: int,
+        labels: Optional[Sequence[str]] = None,
+        single_target: bool = True,
+    ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """Host-side half of train_batches: yields numpy
+        (int16 waveforms (B,N), label_ids (B,), is_silence (B,)) with the
+        silence/unknown substitution applied. Pure numpy + file IO — safe
+        to run on a background thread (no JAX calls)."""
+        n = self.model_settings.desired_samples
+        for paths, lbl, sil in self.host_train_paths(
+            files, batch_size, num_steps, labels=labels,
+            single_target=single_target,
+        ):
+            wav = np.zeros((batch_size, n), dtype=np.int16)
+            for i, p in enumerate(paths):
+                if p is not None:
+                    wav[i] = self._load(p)
+            yield wav, lbl, sil
+
+    def host_train_paths(
+        self,
+        files: Sequence[str],
+        batch_size: int,
+        num_steps: int,
+        labels: Optional[Sequence[str]] = None,
+        single_target: bool = True,
+    ) -> Iterator[Tuple[List[Optional[str]], np.ndarray, np.ndarray]]:
+        """The batch DRAW without the data: yields
+        (clip paths — None for silence, label_ids, is_silence) per step,
+        with the reference's sequential silence/unknown substitution.
+        host_train_batches loads the paths; train_batches_resident maps
+        them to device-bank rows instead (no per-step audio upload)."""
         files = list(files)
         if labels is None:
             label_ids = np.full(len(files), len(self.commands) - 1, dtype=np.int32)
@@ -192,7 +334,7 @@ class AudioDataset:
         order = self.host_rng.permutation(len(files))
         cursor = 0
         for _ in range(num_steps):
-            batch_wav = np.zeros((batch_size, n), dtype=np.float32)
+            batch_paths: List[Optional[str]] = [None] * batch_size
             batch_lbl = np.zeros(batch_size, dtype=np.int32)
             batch_sil = np.zeros(batch_size, dtype=bool)
             for i in range(batch_size):
@@ -207,18 +349,14 @@ class AudioDataset:
                     batch_sil[i] = True
                     batch_lbl[i] = sil_id
                 elif p_unk > 0 and self.host_rng.uniform() < p_unk:
-                    upath = self.unknown_files[
+                    batch_paths[i] = self.unknown_files[
                         self.host_rng.integers(len(self.unknown_files))
                     ]
-                    batch_wav[i] = self._load(upath)
                     batch_lbl[i] = unk_id
                 else:
-                    batch_wav[i] = self._load(files[fidx])
+                    batch_paths[i] = files[fidx]
                     batch_lbl[i] = label_ids[fidx]
-            specs = self._train_device_fn(
-                self._next_key(), jnp.asarray(batch_wav), jnp.asarray(batch_sil)
-            )
-            yield specs, jnp.asarray(batch_lbl)
+            yield batch_paths, batch_lbl, batch_sil
 
     def eval_batches(
         self,
@@ -252,9 +390,11 @@ class AudioDataset:
                 bi = self.host_rng.integers(len(bgs))
                 off = self.host_rng.integers(max(bgs[bi] - n, 1))
                 vol = self.host_rng.uniform()
-                entries.append(
-                    (bgd[bi, off : off + n] * vol, self.label_to_id[SILENCE_LABEL])
-                )
+                sil = np.clip(
+                    np.round(bgd[bi, off : off + n] * vol * 32768.0),
+                    -32768, 32767,
+                ).astype(np.int16)  # int16 grid ≡ materializing to wav
+                entries.append((sil, self.label_to_id[SILENCE_LABEL]))
             for _ in range(n_unk):
                 upath = self.unknown_files[
                     self.host_rng.integers(len(self.unknown_files))

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass, field
+from functools import partial
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -51,6 +52,16 @@ class PretrainConfig:
     # EMA needs ~500 steps to converge, so short runs would evaluate (and
     # checkpoint) with stale running stats. 0 disables.
     bn_calibration_batches: int = 2
+    # host batches assembled ahead on a background thread (data/pipeline.py);
+    # 0 = synchronous. Bit-identical either way. Only used when the
+    # device-resident bank is off (below).
+    prefetch: int = 2
+    # keep the training audio HBM-resident and assemble batches by on-device
+    # gather (data/dataset.py build_resident_bank) — removes the per-step
+    # audio upload entirely. None = auto (on when the bank fits the cap);
+    # features are bit-identical to the streaming path.
+    resident_data: Optional[bool] = None
+    resident_max_bytes: int = 4 << 30
 
 
 def build_pretrain_step(model, tx, mesh):
@@ -108,6 +119,48 @@ def build_pretrain_step(model, tx, mesh):
     return init_fn, step_fn, eval_fn
 
 
+def build_fused_resident_step(model, tx, mesh, dataset):
+    """One jitted program per step for the HBM-resident data path:
+    bank-gather + augmentation + featurization + fwd/bwd/adam, with the
+    train state donated. A single dispatch and maximal XLA fusion — the
+    intermediate waveform/spec tensors never round-trip HBM unfused.
+
+    Numerics are bit-identical to the unfused path: the same
+    dataset._train_device_resident followed by the same loss/update, with
+    the same key stream (aug_key from the dataset chain, dropout from the
+    trainer chain)."""
+    repl = NamedSharding(mesh, P())
+
+    def loss_fn(params, batch_stats, specs, labels, dropout_key):
+        logits, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            specs,
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": dropout_key},
+        )
+        loss = sparse_ce_from_logits(logits, labels).mean()
+        acc = (jnp.argmax(logits, -1) == labels).mean()
+        return loss, (acc, mutated["batch_stats"])
+
+    @partial(jax.jit, donate_argnums=0)
+    def fused_step(state: TrainState, bank, idx, sil, labels, aug_key,
+                   dropout_key):
+        specs = dataset._train_device_resident(aug_key, bank, idx, sil)
+        (loss, (acc, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, specs, labels, dropout_key)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params, opt_state, new_stats, state.step + 1)
+        new_state = jax.lax.with_sharding_constraint(
+            new_state, jax.tree_util.tree_map(lambda _: repl, new_state)
+        )
+        return new_state, {"loss": loss, "accuracy": acc}
+
+    return fused_step
+
+
 def pretrain(
     train_files: Sequence[str],
     val_files: Sequence[str],
@@ -139,6 +192,10 @@ def pretrain(
         unknown_percentage=config.unknown_percentage,
         spec_aug_params=SpecAugParams(percentage=80),
         seed=config.shuffle_seed,
+        # upload int16 batches straight to their batch-sharded layout: XLA
+        # partitions augmentation + featurization over the mesh, and the
+        # train step consumes the specs with no reshard or host round trip
+        input_sharding=meshlib.batch_sharding(mesh),
     )
     num_labels = len(dataset.commands)
     model = model or make_embedding_model(num_labels)
@@ -172,37 +229,78 @@ def pretrain(
     steps_per_epoch = config.steps_per_epoch or max(
         1, len(train_files) // config.batch_size
     )
-    key = jax.random.PRNGKey(config.shuffle_seed + 1)
+
+    use_resident = config.resident_data
+    if use_resident is None:
+        uniq = set(train_files) | set(unknown_files)
+        est = len(uniq) * model_settings.desired_samples * 2  # int16 bytes
+        use_resident = est <= config.resident_max_bytes
+    bank = dataset.build_resident_bank(train_files) if use_resident else None
+
+    def epoch_batches(num_steps):
+        if use_resident:
+            return dataset.train_batches_resident(
+                train_files, batch_size=config.batch_size,
+                num_steps=num_steps, labels=train_labels,
+                single_target=False, bank=bank,
+            )
+        return dataset.train_batches(
+            train_files, batch_size=config.batch_size, num_steps=num_steps,
+            labels=train_labels, single_target=False,
+            prefetch=config.prefetch,
+        )
+    # device-resident dropout key + jitted split (eager splits of a
+    # host-resident key cost a host->device round trip per step)
+    key = jax.device_put(jax.random.PRNGKey(config.shuffle_seed + 1))
+    split_fn = jax.jit(lambda k: tuple(jax.random.split(k)))
+
+    fused_step = (
+        build_fused_resident_step(model, tx, mesh, dataset)
+        if use_resident
+        else None
+    )
+
+    def run_train_steps(num_steps, losses, accs):
+        """One pass of num_steps train steps; appends device metrics."""
+        nonlocal state, key
+        if use_resident:
+            # one fused program per step: gather+augment+featurize+train
+            for paths, lbl, sil in dataset.host_train_paths(
+                train_files, batch_size=config.batch_size,
+                num_steps=num_steps, labels=train_labels, single_target=False,
+            ):
+                idx = np.array(
+                    [0 if p is None else bank["index"][p] for p in paths],
+                    dtype=np.int32,
+                )
+                idx, lbl, sil = dataset._put_batch((idx, lbl, sil))
+                key, sub = split_fn(key)
+                state, m = fused_step(
+                    state, bank["bank"], idx, sil, lbl,
+                    dataset._next_key(), sub,
+                )
+                losses.append(m["loss"])
+                accs.append(m["accuracy"])
+        else:
+            for specs, labels in epoch_batches(num_steps):
+                key, sub = split_fn(key)
+                state, m = step_fn(state, specs, labels, sub)
+                losses.append(m["loss"])
+                accs.append(m["accuracy"])
 
     with mesh:
         for epoch in range(config.num_epochs):
             t0 = time.time()
             losses, accs = [], []
-            for specs, labels in dataset.train_batches(
-                train_files,
-                batch_size=config.batch_size,
-                num_steps=steps_per_epoch,
-                labels=train_labels,
-                single_target=False,
-            ):
-                key, sub = jax.random.split(key)
-                specs = meshlib.shard_batch(mesh, np.asarray(specs))
-                labels = meshlib.shard_batch(mesh, np.asarray(labels))
-                state, m = step_fn(state, specs, labels, sub)
-                losses.append(m["loss"])
-                accs.append(m["accuracy"])
+            run_train_steps(steps_per_epoch, losses, accs)
 
             if config.bn_calibration_batches > 0:
                 from .steps import calibrate_batch_stats
 
                 calib = [
                     specs
-                    for specs, _ in dataset.train_batches(
-                        train_files,
-                        batch_size=config.batch_size,
-                        num_steps=config.bn_calibration_batches,
-                        labels=train_labels,
-                        single_target=False,
+                    for specs, _ in epoch_batches(
+                        config.bn_calibration_batches
                     )
                 ]
                 calibrated = calibrate_batch_stats(

@@ -80,6 +80,40 @@ def read_wav(
     return np.ascontiguousarray(data, dtype=np.float32), sr
 
 
+def read_wav_int16(
+    path, desired_samples: Optional[int] = None
+) -> Tuple[np.ndarray, int]:
+    """Returns (int16 waveform, sample_rate) — the PCM samples untouched.
+
+    The device input path ships int16 to the TPU (half the host->device
+    bytes of float32) and casts to float on device; int16/32768.0 in
+    float32 is exact, so features are bit-identical to the read_wav path.
+    """
+    with wave.open(str(path), "rb") as w:
+        sr = w.getframerate()
+        nch = w.getnchannels()
+        width = w.getsampwidth()
+        if width != 2:
+            # rare non-16-bit inputs: decode float then quantize to the
+            # int16 grid (same grid a wav round trip would apply)
+            data, sr = read_wav(path, desired_samples=desired_samples)
+            return (
+                np.clip(np.round(data * 32768.0), -32768, 32767).astype(np.int16),
+                sr,
+            )
+        raw = w.readframes(w.getnframes())
+    data = np.frombuffer(raw, dtype="<i2")
+    if nch > 1:
+        data = data.reshape(-1, nch)[:, 0]
+    if desired_samples is not None:
+        n = data.shape[0]
+        if n >= desired_samples:
+            data = data[:desired_samples]
+        else:
+            data = np.pad(data, (0, desired_samples - n))
+    return np.ascontiguousarray(data, dtype=np.int16), sr
+
+
 def write_wav(path, waveform: np.ndarray, sample_rate: int = 16000) -> None:
     """Float [-1, 1] (or int16) mono waveform -> 16-bit PCM wav."""
     waveform = np.asarray(waveform)

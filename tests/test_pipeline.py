@@ -1,0 +1,192 @@
+"""Input-pipeline parallelism (data/pipeline.py): the tf.data-AUTOTUNE role
+(reference input_data.py:452-471) replaced by thread-backed host prefetch."""
+
+import time
+
+import numpy as np
+import pytest
+
+from multilingual_kws_tpu.data.pipeline import prefetch
+
+
+def test_prefetch_preserves_order_and_values():
+    assert list(prefetch(iter(range(100)), size=4)) == list(range(100))
+
+
+def test_prefetch_size_zero_is_synchronous():
+    assert list(prefetch(iter(range(10)), size=0)) == list(range(10))
+
+
+def test_prefetch_propagates_producer_exception():
+    def gen():
+        yield 1
+        yield 2
+        raise ValueError("boom")
+
+    it = prefetch(gen(), size=2)
+    assert next(it) == 1
+    assert next(it) == 2
+    with pytest.raises(ValueError, match="boom"):
+        next(it)
+
+
+def test_prefetch_early_abandon_stops_producer():
+    produced = []
+
+    def gen():
+        for i in range(10_000):
+            produced.append(i)
+            yield i
+
+    it = prefetch(gen(), size=2)
+    for _ in range(3):
+        next(it)
+    it.close()
+    time.sleep(0.3)  # give the producer time to notice the stop event
+    n = len(produced)
+    time.sleep(0.2)
+    assert len(produced) == n  # no longer producing
+    assert n < 100  # and it never ran ahead of the bounded queue
+
+
+def test_prefetch_actually_overlaps():
+    """Producer sleep and consumer sleep must overlap: total wall-clock is
+    well under the sum of both."""
+    N, DELAY = 8, 0.05
+
+    def slow_gen():
+        for i in range(N):
+            time.sleep(DELAY)
+            yield i
+
+    t0 = time.perf_counter()
+    for _ in prefetch(slow_gen(), size=2):
+        time.sleep(DELAY)  # consumer work
+    overlapped = time.perf_counter() - t0
+    assert overlapped < 2 * N * DELAY * 0.8, overlapped
+
+
+def test_train_batches_prefetch_bit_identical(tmp_path):
+    """prefetch>0 must yield bit-identical batches to the synchronous path
+    (single producer thread keeps the host RNG draw order)."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from helpers import make_corpus
+
+    from multilingual_kws_tpu.data.dataset import AudioDataset
+    from multilingual_kws_tpu.settings import standard_microspeech_model_settings
+
+    corpus = make_corpus(tmp_path / "c", clips_per_word=4)
+    settings = standard_microspeech_model_settings(3)
+
+    def run(pf):
+        ds = AudioDataset(
+            model_settings=settings,
+            commands=["alpha"],
+            background_data_dir=corpus["bg_dir"],
+            unknown_files=corpus["unknown_files"],
+            silence_percentage=10,
+            unknown_percentage=10,
+            seed=123,
+        )
+        out = [
+            (np.asarray(s), np.asarray(l))
+            for s, l in ds.train_batches(
+                corpus["alpha"], batch_size=8, num_steps=6, prefetch=pf
+            )
+        ]
+        return out
+
+    sync = run(0)
+    pref = run(3)
+    assert len(sync) == len(pref) == 6
+    for (s0, l0), (s1, l1) in zip(sync, pref):
+        np.testing.assert_array_equal(l0, l1)
+        np.testing.assert_array_equal(s0, s1)
+
+
+def test_resident_bank_matches_streaming(tmp_path):
+    """HBM-resident batches (device gather) must match the streaming path
+    (host-assembled upload) exactly: same draws, same augment keys, same
+    features."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from helpers import make_corpus
+
+    from multilingual_kws_tpu.data.dataset import AudioDataset
+    from multilingual_kws_tpu.settings import standard_microspeech_model_settings
+
+    corpus = make_corpus(tmp_path / "c", clips_per_word=4)
+    settings = standard_microspeech_model_settings(3)
+
+    def make_ds():
+        return AudioDataset(
+            model_settings=settings,
+            commands=["alpha"],
+            background_data_dir=corpus["bg_dir"],
+            unknown_files=corpus["unknown_files"],
+            silence_percentage=10,
+            unknown_percentage=10,
+            seed=7,
+        )
+
+    ds_s = make_ds()
+    stream = [
+        (np.asarray(s), np.asarray(l))
+        for s, l in ds_s.train_batches(corpus["alpha"], 8, 5)
+    ]
+    ds_r = make_ds()
+    resident = [
+        (np.asarray(s), np.asarray(l))
+        for s, l in ds_r.train_batches_resident(corpus["alpha"], 8, 5)
+    ]
+    assert len(stream) == len(resident) == 5
+    for (s0, l0), (s1, l1) in zip(stream, resident):
+        np.testing.assert_array_equal(l0, l1)
+        np.testing.assert_array_equal(s0, s1)
+
+
+@pytest.mark.slow
+def test_pretrain_resident_matches_streaming(tmp_path):
+    """pretrain with the HBM-resident fused step must train equivalently to
+    the streaming path (same data order + keys; loss curves match)."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from helpers import make_corpus, tiny_embedding_model
+
+    from multilingual_kws_tpu.parallel import mesh as meshlib
+    from multilingual_kws_tpu.train.pretrain import PretrainConfig, pretrain
+
+    corpus = make_corpus(tmp_path / "c", clips_per_word=8)
+    words = ["alpha", "bravo"]
+    train_files = [f for w in words for f in corpus[w][:6]]
+    val_files = [f for w in words for f in corpus[w][6:]]
+
+    def run(resident):
+        _, _, hist, _ = pretrain(
+            train_files,
+            val_files,
+            commands=words,
+            background_data_dir=corpus["bg_dir"],
+            unknown_files=corpus["unknown_files"],
+            config=PretrainConfig(
+                num_labels=4, batch_size=8, num_epochs=2,
+                learning_rate=3e-3, silence_percentage=10,
+                unknown_percentage=15, shuffle_seed=0, steps_per_epoch=4,
+                resident_data=resident,
+            ),
+            mesh=meshlib.make_mesh(num_devices=1),
+            verbose=0,
+            model=tiny_embedding_model(num_labels=4),
+        )
+        return hist
+
+    h_stream = run(False)
+    h_res = run(True)
+    np.testing.assert_allclose(h_res["loss"], h_stream["loss"], rtol=1e-4)
+    np.testing.assert_allclose(
+        h_res["val_accuracy"], h_stream["val_accuracy"], atol=1e-6
+    )
