@@ -247,3 +247,46 @@ def target_validation_filter(
         removed=bad,
     )
     return cleaned_yaml, cleaned_emb, report
+
+
+# ---------------------------------------------------------------------------
+# low/medium-resource language configs + keyword selection
+# (notebooks/dataperf_med_low.py — MSWC resource tiers and the
+# pick-frequent-keywords flow it runs by hand over HF datasets)
+# ---------------------------------------------------------------------------
+
+# ISO 639-1 sets from dataperf_med_low.py:12-37 (restricted to 2-letter
+# codes exactly as the reference does at :35-36)
+LOW_RESOURCE_LANGUAGES = (
+    "ar", "as", "br", "cv", "dv", "ka", "gn", "el", "ha", "ia",
+    "lv", "lt", "mt", "or", "ro", "sl", "sk", "ta", "vi",
+)
+MEDIUM_RESOURCE_LANGUAGES = (
+    "cs", "nl", "et", "eo", "id", "ky", "mn", "pt", "tt", "tr", "uk",
+)
+
+
+def keyword_counts(clips: Sequence[Tuple[str, str]]) -> Dict[str, int]:
+    """Count clips per keyword from (keyword, split) pairs, like the
+    reference's Counter over ds['validation'] (dataperf_med_low.py:69-75).
+    Pass e.g. [(kw, 'validation'), ...]; only rows whose split matches
+    'validation' count (pass split=None rows to count everything)."""
+    import collections
+
+    c: Dict[str, int] = collections.Counter()
+    for kw, split in clips:
+        if split in (None, "validation"):
+            c[kw] += 1
+    return dict(c)
+
+
+def select_experiment_keywords(
+    counts: Dict[str, int], n: int = 5, min_count: int = 100
+) -> List[str]:
+    """Most-frequent keywords with at least min_count validation clips —
+    the selection rule behind the reference's hand-picked id/pt/nl keyword
+    lists (dataperf_med_low.py:77-111: each chosen keyword has >=100 train
+    clips)."""
+    eligible = [(kw, c) for kw, c in counts.items() if c >= min_count]
+    eligible.sort(key=lambda t: (-t[1], t[0]))
+    return [kw for kw, _ in eligible[:n]]

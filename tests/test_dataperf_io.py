@@ -108,3 +108,28 @@ def test_ratings_csv_roundtrip(tmp_path):
     p.write_text("clip_0,snr,good\nclip_1,snr,bad\nclip_2,bad\n")
     r = dio.read_ratings_csv(p)
     assert r == {"clip_0": "good", "clip_1": "bad", "clip_2": "bad"}
+
+
+def test_resource_tiers_and_keyword_selection():
+    from multilingual_kws_tpu.analysis.dataperf_io import (
+        LOW_RESOURCE_LANGUAGES,
+        MEDIUM_RESOURCE_LANGUAGES,
+        keyword_counts,
+        select_experiment_keywords,
+    )
+
+    assert "ro" in LOW_RESOURCE_LANGUAGES and "id" in MEDIUM_RESOURCE_LANGUAGES
+    assert not set(LOW_RESOURCE_LANGUAGES) & set(MEDIUM_RESOURCE_LANGUAGES)
+    assert all(len(c) == 2 for c in LOW_RESOURCE_LANGUAGES + MEDIUM_RESOURCE_LANGUAGES)
+
+    clips = (
+        [("karena", "validation")] * 181
+        + [("sangat", "validation")] * 159
+        + [("rare", "validation")] * 3
+        + [("karena", "train")] * 50  # non-validation rows don't count
+    )
+    counts = keyword_counts(clips)
+    assert counts == {"karena": 181, "sangat": 159, "rare": 3}
+    assert select_experiment_keywords(counts, n=5, min_count=100) == [
+        "karena", "sangat",
+    ]
