@@ -53,6 +53,31 @@ def _u(x):
     return jnp.asarray(x, U32)
 
 
+def u32_to_f32(x_u32):
+    """uint32 -> float32 via 16-bit limbs. Mosaic (Pallas TPU) has no
+    direct u32->f32 convert; hi*2^16 is exact (hi < 2^16), so the single
+    rounding of the sum makes this bit-identical to a direct cast."""
+    hi = (x_u32 >> U32(16)).astype(I32).astype(jnp.float32)
+    lo = (x_u32 & U32(0xFFFF)).astype(I32).astype(jnp.float32)
+    return hi * np.float32(65536.0) + lo
+
+
+def f32_to_u32(x_f32):
+    """float32 -> uint32 for values in [0, 2^31): route through int32
+    (Mosaic has no direct f32->u32 convert)."""
+    return x_f32.astype(I32).astype(U32)
+
+
+def umin(a, b):
+    """Unsigned min via compare+select — Mosaic cannot legalize vector
+    arith.minui, and jnp.minimum on uint32 lowers to it."""
+    return jnp.where(a < b, a, b)
+
+
+def umax(a, b):
+    return jnp.where(a > b, a, b)
+
+
 # ---------------------------------------------------------------------------
 # uint64 emulation on (hi, lo) uint32 pairs
 # ---------------------------------------------------------------------------
@@ -211,12 +236,12 @@ def sqrt64_exact(hi, lo):
     64-bit value with +1 round-up when remainder > result, capped at
     0xFFFF (32-bit inputs) / 0xFFFFFFFF.  Float32 gives a +-2 candidate
     window; exact uint32 comparisons select the true floor sqrt."""
-    v = hi.astype(jnp.float32) * np.float32(2.0**32) + lo.astype(jnp.float32)
+    v = u32_to_f32(hi) * np.float32(2.0**32) + u32_to_f32(lo)
     # Error budget at the 2^50 extreme: v carries 1 ulp = 2^27 absolute
     # (+-2 on the root), float32 sqrt rounding adds ulp(2^25) = 2, floor 1
     # => the float guess is within +-6 of the true floor sqrt. Scan a +-8
     # window and pick the true floor via exact u64 comparisons.
-    r0 = jnp.clip(jnp.floor(jnp.sqrt(v)) - 8.0, 0.0, None).astype(U32)
+    r0 = f32_to_u32(jnp.clip(jnp.floor(jnp.sqrt(v)) - 8.0, 0.0, None))
 
     def square64(r):
         a = r >> U32(12)
@@ -269,13 +294,13 @@ def nr_subtract(sig_u32, est_u32, msr_u32, smoothing_bits: int = 10):
     """Vectorized suffix of NoiseReductionApply given the estimate sequence:
     scaled-domain subtraction with clamp, plus the min-signal floor."""
     su = sig_u32 << U32(smoothing_bits)
-    est_c = jnp.minimum(est_u32, su)
+    est_c = umin(est_u32, su)
     subtracted = (su - est_c) >> U32(smoothing_bits)
     # floor = (uint64(sig) * msr) >> 14 ; sig <= 2^26 physically, msr < 2^14
     a = (sig_u32 >> U32(16)) * msr_u32
     b = (sig_u32 & U32(0xFFFF)) * msr_u32
     floor_ = (a << U32(16 - NOISE_REDUCTION_BITS)) + (b >> U32(NOISE_REDUCTION_BITS))
-    return jnp.maximum(subtracted, floor_)
+    return umax(subtracted, floor_)
 
 
 # ---------------------------------------------------------------------------
@@ -317,8 +342,8 @@ def wide_dynamic_function(x_u32, wdf_rows_f32, lut012_i32):
     l1 = sel[..., 1].astype(I32)
     l2 = sel[..., 2].astype(I32)
 
-    shl = jnp.minimum(jnp.maximum(U32(11) - jnp.minimum(interval, U32(11)), U32(0)), U32(31))
-    shr = jnp.minimum(jnp.maximum(interval, U32(11)) - U32(11), U32(31))
+    shl = umin(umax(U32(11) - umin(interval, U32(11)), U32(0)), U32(31))
+    shr = umin(umax(interval, U32(11)) - U32(11), U32(31))
     frac = (
         jnp.where(interval < U32(11), x_u32 << shl, x_u32 >> shr) & U32(0x3FF)
     ).astype(I32)
@@ -349,7 +374,7 @@ def pcan_gain(nr_u32, gain_i32, snr_shift: int):
     snr = (a << U32(16 - snr_shift)) + (b >> U32(snr_shift))
     big = snr >= U32(2 << PCAN_SNR_BITS)
     # clamp before squaring so the (unselected) small branch cannot overflow
-    s = jnp.minimum(snr, U32(2 << PCAN_SNR_BITS))
+    s = umin(snr, U32(2 << PCAN_SNR_BITS))
     small_val = (s * s) >> U32(2 + 2 * PCAN_SNR_BITS - PCAN_OUTPUT_BITS)
     big_val = (snr >> U32(PCAN_SNR_BITS - PCAN_OUTPUT_BITS)) - U32(
         1 << PCAN_OUTPUT_BITS
@@ -377,15 +402,15 @@ def log_scale_int(x_u32, correction_bits: int, scale_shift: int, log_pairs_f32):
     stay under 2^32."""
     value = x_u32 << U32(correction_bits)
     nonzero = value > U32(0)
-    v = jnp.maximum(value, U32(1))
+    v = umax(value, U32(1))
     integer = msb32(v) - U32(1)  # 0..31
     frac = v - (U32(1) << integer)
-    shl = jnp.minimum(
-        jnp.maximum(U32(LOG_SCALE_LOG2) - jnp.minimum(integer, U32(LOG_SCALE_LOG2)), U32(0)),
+    shl = umin(
+        umax(U32(LOG_SCALE_LOG2) - umin(integer, U32(LOG_SCALE_LOG2)), U32(0)),
         U32(31),
     )
-    shr = jnp.minimum(
-        jnp.maximum(integer, U32(LOG_SCALE_LOG2)) - U32(LOG_SCALE_LOG2), U32(31)
+    shr = umin(
+        umax(integer, U32(LOG_SCALE_LOG2)) - U32(LOG_SCALE_LOG2), U32(31)
     )
     frac = jnp.where(integer < U32(LOG_SCALE_LOG2), frac << shl, frac >> shr)
     seg_shift = LOG_SCALE_LOG2 - LOG_SEGMENTS_LOG2  # 9
@@ -410,4 +435,4 @@ def log_scale_int(x_u32, correction_bits: int, scale_shift: int, log_pairs_f32):
     loge = U32(LOG_COEFF) * h + ((U32(LOG_COEFF) * l + rnd) >> U32(LOG_SCALE_LOG2))
     logged = ((loge << U32(scale_shift)) + rnd) >> U32(LOG_SCALE_LOG2)
     out = jnp.where(nonzero, logged, U32(0))
-    return jnp.minimum(out, U32(0xFFFF))
+    return umin(out, U32(0xFFFF))

@@ -320,7 +320,17 @@ class MicroFrontendJax:
             wdf_rows, lut012 = mi.build_wdf_tables(host.pcan_lut)
             self.wdf_rows_f32 = jnp.asarray(wdf_rows.astype(np.float32))
             self.lut012_i32 = jnp.asarray(lut012)
+            # static immediates for the fully-fused Pallas kernel's
+            # where-chain LUT selects (ops/pallas_fft.clip_frontend_features)
+            self._wdf_rows_static = tuple(map(tuple, wdf_rows.tolist()))
+            self._lut012_static = tuple(lut012.tolist())
+        else:
+            self._wdf_rows_static = ()
+            self._lut012_static = ()
         self.log_pairs_f32 = jnp.asarray(mi._LOG_PAIRS_F32)
+        self._log_pairs_static = tuple(
+            map(tuple, mi._LOG_PAIRS_F32.astype(np.int64).tolist())
+        )
         # jitted entry points (shape-polymorphic via retrace per shape)
         self._features_jit = jax.jit(self._features_impl)
         self._features_i16_jit = jax.jit(self._features_from_int16_impl)
@@ -632,8 +642,54 @@ class MicroFrontendJax:
         return self.nr_pcan_log(base)
 
     def _features_from_int16_impl(self, audio_int16: jnp.ndarray) -> jnp.ndarray:
-        raw = self._suffix(self.base_frames(audio_int16))
+        raw = self._raw_features_int(audio_int16)
         return raw.astype(jnp.float32) * np.float32(10.0 / 256.0)
+
+    def _raw_features_int(self, audio_int16: jnp.ndarray) -> jnp.ndarray:
+        """(..., samples) -> (..., F, C) integer-valued features (pre-scale).
+
+        On TPU in exact mode, clip-scale audio takes the fully-fused Pallas
+        kernel (ops/pallas_fft.clip_frontend_features): the ENTIRE frontend
+        — framing, windowing, FFT, filterbank, Sqrt64, noise reduction,
+        PCAN, log — in one VMEM pass, bit-exact. Other shapes/modes
+        compose base_frames + the suffix."""
+        t = self.t
+        samples = audio_int16.shape[-1]
+        rows_per_clip = (
+            2 + (samples - t.window_size) // t.window_step
+            if samples >= t.window_size
+            else 0
+        )
+        if (
+            self.use_pallas
+            and self.mode == "exact"
+            and t.window_size <= 2 * t.window_step
+            and 0 < rows_per_clip <= 512  # VMEM bound; streaming goes below
+        ):
+            from .pallas_fft import clip_frontend_features
+
+            lead = audio_int16.shape[:-1]
+            flat = audio_int16.reshape(-1, samples).astype(jnp.int32)
+            raw = clip_frontend_features(
+                flat,
+                self.window_coeffs, self._fft_pr, self._fft_pi,
+                self.fb_whi_f32, self.fb_wlo_f32, self.sm_u, self.om_u,
+                window_bits=WINDOW_BITS,
+                window_size=t.window_size,
+                window_step=t.window_step,
+                smoothing_bits=t.smoothing_bits,
+                msr=int(t.min_signal_remaining),
+                enable_pcan=bool(t.enable_pcan),
+                snr_shift=int(t.snr_shift),
+                wdf_rows=self._wdf_rows_static,
+                lut012=self._lut012_static,
+                enable_log=bool(t.enable_log),
+                correction_bits=int(t.correction_bits),
+                scale_shift=int(t.scale_shift),
+                log_pairs=self._log_pairs_static,
+            )
+            return raw.reshape(*lead, *raw.shape[1:])
+        return self._suffix(self.base_frames(audio_int16))
 
     def features_from_int16(self, audio_int16: jnp.ndarray) -> jnp.ndarray:
         """(..., samples) int16/int32 -> (..., F, C) f32, reference 10/256 scale."""

@@ -234,14 +234,10 @@ def _fft_energy_kernel(tw_ref, xr_ref, xi_ref, out_ref):
     out_ref[:, 256:257] = e256
 
 
-def _window_fft_energy_kernel(
-    tw_ref, win_ref, pr_ref, pi_ref, frames_ref, out_ref, *, window_bits: int
-):
-    """Fully fused frontend prefix: quantized-Hann windowing, per-frame
-    input_shift, even/odd + digit-reversal input permutation (as an exact
-    f32 one-hot matmul on the MXU — scaled values are int16-range), then
-    the FFT stages + energy."""
-    frames = frames_ref[:]  # (TILE, 480) int32
+def _window_shift_perm(win_ref, pr_ref, pi_ref, frames, window_bits: int):
+    """Quantized-Hann windowing, per-frame input_shift, and the even/odd +
+    digit-reversal input permutation (exact f32 one-hot matmuls on the MXU —
+    scaled values are int16-range). Returns (xr, xi, shift)."""
     w = (frames * win_ref[:]) >> window_bits
     max_abs = jnp.max(jnp.abs(w), axis=-1, keepdims=True).astype(jnp.uint32)
     # msb32 binary search (micro_int.msb32 inlined: tiny (TILE, 1) values)
@@ -262,10 +258,50 @@ def _window_fft_energy_kernel(
             precision=jax.lax.Precision.HIGHEST,
         ).astype(jnp.int32)
 
-    energy256, e256 = _fft_energy_math(tw_ref, perm(pr_ref), perm(pi_ref))
+    return perm(pr_ref), perm(pi_ref), shift
+
+
+def _window_fft_energy_kernel(
+    tw_ref, win_ref, pr_ref, pi_ref, frames_ref, out_ref, *, window_bits: int
+):
+    """Fused frontend prefix on pre-framed input: windowing, input_shift,
+    input permutation, FFT stages + energy."""
+    xr, xi, shift = _window_shift_perm(
+        win_ref, pr_ref, pi_ref, frames_ref[:], window_bits
+    )
+    energy256, e256 = _fft_energy_math(tw_ref, xr, xi)
     out_ref[:, :256] = energy256
     out_ref[:, 256:257] = e256
     out_ref[:, 257:258] = shift.astype(jnp.uint32)
+
+
+def _clip_frontend_kernel(
+    tw_ref, win_ref, pr_ref, pi_ref, fbh_ref, fbl_ref, rows_ref, out_ref,
+    *, window_bits: int, step: int, window_size: int
+):
+    """The WHOLE stateless frontend prefix for a tile of clips, one VMEM
+    pass: framing, windowing, input_shift, input permutation, all FFT
+    stages, bin energies, the exact 64-bit filterbank accumulate, Sqrt64
+    and the >>shift denormalization.
+
+    rows_ref: (R, step) int32 — the clips' audio reshaped to hop-sized
+    rows, R = clips_per_tile * rows_per_clip. Frame r is
+    rows[r] ++ rows[r+1][:window-step] (window <= 2*step), built with one
+    sublane roll; the last row of each clip yields a garbage frame that the
+    wrapper slices off (≈2% wasted lanes — cheaper than any gather).
+    """
+    rows = rows_ref[:]  # (R, step) int32
+    # rows[r+1] at row r (wraps at the end); pltpu.roll needs shift >= 0,
+    # and roll by R-1 == roll by -1
+    nxt = pltpu.roll(rows, rows.shape[0] - 1, 0)
+    frames = jnp.concatenate([rows, nxt[:, : window_size - step]], axis=-1)
+    xr, xi, shift = _window_shift_perm(
+        win_ref, pr_ref, pi_ref, frames, window_bits
+    )
+    energy256, e256 = _fft_energy_math(tw_ref, xr, xi)
+    out_ref[:] = _filterbank_sqrt_in_kernel(
+        fbh_ref, fbl_ref, energy256, e256, shift
+    )
 
 
 def build_perm_matrices(window_size: int):
@@ -325,6 +361,386 @@ def window_fft_energy(
         frames,
     )
     return out[:n, :257], out[:n, 257]
+
+
+def _filterbank_sqrt_in_kernel(fbh_ref, fbl_ref, energy256, e256, shift):
+    """Exact 64-bit filterbank accumulate + Sqrt64 + >>shift on the VMEM
+    tile (micro_int.filterbank_accumulate_mxu semantics; fft-bin 256 as a
+    rank-1 term). Energies split into 11-bit limbs, weights into 6-bit
+    limbs: every matmul sum < 2^23, the bin-256 addend < 2^17 -> f32 exact."""
+    from .micro_int import sqrt64_exact, u64_add, u64_from_shifted
+
+    hp = jax.lax.Precision.HIGHEST
+    U = jnp.uint32
+    w0h, w0l = fbh_ref[0:256, :], fbl_ref[0:256, :]
+    w256h, w256l = fbh_ref[256:257, :], fbl_ref[256:257, :]
+
+    def limb_f32(x_u32, sh):
+        # 11-bit limb (< 2^11): Mosaic-safe u32 -> f32 via int32
+        v = (x_u32 >> U(sh)) & U(0x7FF) if sh else x_u32 & U(0x7FF)
+        return v.astype(jnp.int32).astype(jnp.float32)
+
+    h = l = None
+    for s in (22, 11, 0):
+        e_f = limb_f32(energy256, s)
+        e256_f = limb_f32(e256, s)
+        for w_f, w256_f, ws in ((w0h, w256h, 6), (w0l, w256l, 0)):
+            part = (
+                jnp.dot(e_f, w_f, preferred_element_type=jnp.float32,
+                        precision=hp)
+                + e256_f * w256_f
+            )
+            # part < 2^24 -> exact f32 -> u32 via int32 (Mosaic-safe)
+            part_u = part.astype(jnp.int32).astype(U)
+            ph, pl_ = u64_from_shifted(part_u, s + ws)
+            h, l = (ph, pl_) if h is None else u64_add(h, l, ph, pl_)
+    return sqrt64_exact(h, l) >> shift.astype(U)
+
+
+def _select_chain(idx_i32, table, width):
+    """Exact table select as a where-chain over STATIC Python values (no
+    one-hot matmul tensors in VMEM). table: tuple of scalars or tuples."""
+    first = table[0]
+    if isinstance(first, tuple):
+        outs = [jnp.full_like(idx_i32, t0) for t0 in first]
+        for k in range(1, width):
+            m = idx_i32 == k
+            outs = [
+                jnp.where(m, jnp.int32(tv), o)
+                for tv, o in zip(table[k], outs)
+            ]
+        return outs
+    out = jnp.full_like(idx_i32, first)
+    for k in range(1, width):
+        out = jnp.where(idx_i32 == k, jnp.int32(table[k]), out)
+    return out
+
+
+def _clip_frontend_full_kernel(
+    tw_ref, win_ref, pr_ref, pi_ref, fbh_ref, fbl_ref, sm_ref, om_ref,
+    rows_ref, out_ref, sig_scratch, est_scratch,
+    *, window_bits: int, step: int, window_size: int, cb: int, nf: int,
+    smoothing_bits: int, msr: int, enable_pcan: bool, snr_shift: int,
+    wdf_rows, lut012, enable_log: bool, correction_bits: int,
+    scale_shift: int, log_pairs,
+):
+    """THE fused frontend: framing, windowing, input_shift, FFT, energies,
+    filterbank, Sqrt64, noise-reduction recurrence, PCAN and log scaling —
+    the entire micro frontend for a tile of clips in one VMEM pass.
+
+    Rows arrive FRAME-MAJOR (row = f*cb + c) so the per-clip NR recurrence
+    scans contiguous (cb, C) slabs; frame f's window is rows (f, c) and
+    (f+1, c), built with one sublane roll by cb. LUT stages (PCAN wide
+    dynamic function, log segments) select via where-chains over static
+    immediates instead of one-hot matmuls. Semantics are micro_int's
+    (bit-exact; tests compare element-for-element)."""
+    from .micro_int import (
+        msb32, nr_estimate_step, nr_subtract, pcan_gain, umin, umax,
+    )
+    from .micro_exact import LOG_SCALE_LOG2, LOG_SEGMENTS_LOG2, LOG_COEFF
+
+    U = jnp.uint32
+    I = jnp.int32
+    rows = rows_ref[:]  # (R, step) int32, R = (nf+1)*cb
+    r_total = rows.shape[0]
+    nxt = pltpu.roll(rows, r_total - cb, 0)  # row (f+1, c) at (f, c)
+    frames = jnp.concatenate([rows, nxt[:, : window_size - step]], axis=-1)
+    xr, xi, shift = _window_shift_perm(
+        win_ref, pr_ref, pi_ref, frames, window_bits
+    )
+    energy256, e256 = _fft_energy_math(tw_ref, xr, xi)
+    sig = _filterbank_sqrt_in_kernel(fbh_ref, fbl_ref, energy256, e256, shift)
+    c = sig.shape[-1]
+    sig_scratch[:] = sig.reshape(nf + 1, cb, c)
+
+    sm = sm_ref[0]  # (C,) uint32 per-channel smoothing
+    om = om_ref[0]
+
+    def nr_step(f, est):
+        est = nr_estimate_step(est, sig_scratch[f], sm, om, smoothing_bits)
+        est_scratch[f] = est
+        return est
+
+    jax.lax.fori_loop(
+        0, nf, nr_step, jnp.zeros((cb, c), U), unroll=False
+    )
+    est_seq = est_scratch[:]  # (nf, cb, C)
+    sig_real = sig_scratch[0:nf]  # last frame row is framing garbage
+
+    out = nr_subtract(sig_real, est_seq, U(msr), smoothing_bits)
+    if enable_pcan:
+        # WideDynamicFunction (micro_int.wide_dynamic_function) with the
+        # (32, 3) LUT rows as static immediates
+        x = est_seq
+        interval = msb32(x)
+        idx = jnp.clip(interval.astype(I) - 1, 0, 31)
+        l0, l1, l2 = _select_chain(idx, wdf_rows, 32)
+        shl = umin(umax(U(11) - umin(interval, U(11)), U(0)), U(31))
+        shr = umin(umax(interval, U(11)) - U(11), U(31))
+        frac = (
+            jnp.where(interval < U(11), x << shl, x >> shr) & U(0x3FF)
+        ).astype(I)
+        r = (l2 * frac) >> 5
+        r = r + (l1 << 5)
+        r_hi = r >> 16
+        r_lo = r & 0xFFFF
+        r = r_hi * frac * 2 + ((r_lo * frac + (1 << 14)) >> 15)
+        r = r + l0
+        small = x <= U(2)
+        direct = jnp.where(
+            x < U(1), jnp.int32(lut012[0]),
+            jnp.where(x < U(2), jnp.int32(lut012[1]), jnp.int32(lut012[2])),
+        )
+        gain = jnp.where(small, direct, r)
+        out = pcan_gain(out, gain, snr_shift)
+    if enable_log:
+        # integer log (micro_int.log_scale_int) with the 129 segment pairs
+        # as static immediates
+        value = out << U(correction_bits)
+        nonzero = value > U(0)
+        v = umax(value, U(1))
+        integer = msb32(v) - U(1)
+        frac = v - (U(1) << integer)
+        shl = umin(
+            umax(
+                U(LOG_SCALE_LOG2) - umin(integer, U(LOG_SCALE_LOG2)), U(0)
+            ),
+            U(31),
+        )
+        shr = umin(
+            umax(integer, U(LOG_SCALE_LOG2)) - U(LOG_SCALE_LOG2), U(31)
+        )
+        frac = jnp.where(integer < U(LOG_SCALE_LOG2), frac << shl, frac >> shr)
+        seg_shift = LOG_SCALE_LOG2 - LOG_SEGMENTS_LOG2  # 9
+        base_seg = (frac >> U(seg_shift)).astype(I)  # 0..128
+        c0, c1 = _select_chain(base_seg, log_pairs, 129)
+        delta = frac.astype(I) - (base_seg << seg_shift)
+        rel = ((c1 - c0) * delta) >> LOG_SCALE_LOG2
+        fraction = frac.astype(I) + c0 + rel
+        log2v = ((integer.astype(I)) << LOG_SCALE_LOG2) + fraction
+        lv = log2v.astype(U)
+        h16 = lv >> U(16)
+        l16 = lv & U(0xFFFF)
+        rnd = U(1 << (LOG_SCALE_LOG2 - 1))
+        loge = U(LOG_COEFF) * h16 + (
+            (U(LOG_COEFF) * l16 + rnd) >> U(LOG_SCALE_LOG2)
+        )
+        logged = ((loge << U(scale_shift)) + rnd) >> U(LOG_SCALE_LOG2)
+        out = jnp.where(nonzero, logged, U(0))
+        out = umin(out, U(0xFFFF))
+    else:
+        out = umin(out, U(0xFFFF))
+    out_ref[0] = out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "window_bits", "window_size", "window_step", "smoothing_bits", "msr",
+        "enable_pcan", "snr_shift", "wdf_rows", "lut012", "enable_log",
+        "correction_bits", "scale_shift", "log_pairs", "interpret",
+    ),
+)
+def clip_frontend_features(
+    audio_int32: jnp.ndarray,  # (B, T) int32 int16-range audio
+    window_coeffs: jnp.ndarray,
+    pr: jnp.ndarray,
+    pi: jnp.ndarray,
+    fb_whi: jnp.ndarray,  # (257, C) f32
+    fb_wlo: jnp.ndarray,  # (257, C) f32
+    sm_u: jnp.ndarray,  # (C,) uint32 even/odd smoothing
+    om_u: jnp.ndarray,  # (C,) uint32 1<<14 - smoothing
+    *,
+    window_bits: int = 12,
+    window_size: int = 480,
+    window_step: int = 320,
+    smoothing_bits: int = 10,
+    msr: int = 0,
+    enable_pcan: bool = True,
+    snr_shift: int = 6,
+    wdf_rows=(),
+    lut012=(),
+    enable_log: bool = True,
+    correction_bits: int = 3,
+    scale_shift: int = 6,
+    log_pairs=(),
+    interpret: bool = False,
+):
+    """The ENTIRE micro frontend as one Pallas kernel per clip tile:
+    (B, T) int16-range audio -> (B, nf, C) uint32 features (pre-10/256
+    scale). Audio crosses HBM once in, features once out — no intermediate
+    tensor exists outside VMEM. Bit-exact vs ops/micro_exact.py."""
+    b, t = audio_int32.shape
+    win, step = window_size, window_step
+    assert win <= 2 * step, (win, step)
+    nf = 1 + (t - win) // step if t >= win else 0
+    num_channels = fb_whi.shape[1]
+    if nf <= 0:
+        return jnp.zeros((b, 0, num_channels), jnp.uint32)
+    rpc = nf + 1
+    pad_to = rpc * step
+    if pad_to > t:
+        audio_int32 = jnp.pad(audio_int32, ((0, 0), (0, pad_to - t)))
+    else:
+        audio_int32 = audio_int32[:, :pad_to]
+
+    cb = max(1, 400 // rpc)
+    pad_b = (-b) % cb
+    if pad_b:
+        audio_int32 = jnp.pad(audio_int32, ((0, pad_b), (0, 0)))
+    bp = b + pad_b
+    ntiles = bp // cb
+    # frame-major row order within each tile: row = f*cb + c
+    rows = (
+        audio_int32.reshape(ntiles, cb, rpc, step)
+        .transpose(0, 2, 1, 3)
+        .reshape(ntiles * rpc * cb, step)
+    )
+
+    out = pl.pallas_call(
+        functools.partial(
+            _clip_frontend_full_kernel,
+            window_bits=window_bits, step=step, window_size=win, cb=cb,
+            nf=nf, smoothing_bits=smoothing_bits, msr=msr,
+            enable_pcan=enable_pcan, snr_shift=snr_shift, wdf_rows=wdf_rows,
+            lut012=lut012, enable_log=enable_log,
+            correction_bits=correction_bits, scale_shift=scale_shift,
+            log_pairs=log_pairs,
+        ),
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((26, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, win), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((win, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((win, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (257, num_channels), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (257, num_channels), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, num_channels), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, num_channels), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (rpc * cb, step), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, nf, cb, num_channels), lambda i: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (ntiles, nf, cb, num_channels), jnp.uint32
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rpc, cb, num_channels), jnp.uint32),
+            pltpu.VMEM((nf, cb, num_channels), jnp.uint32),
+        ],
+        interpret=interpret,
+    )(
+        jnp.asarray(_TW_PACKED),
+        jnp.asarray(window_coeffs, jnp.int32)[None, :],
+        pr,
+        pi,
+        fb_whi,
+        fb_wlo,
+        jnp.asarray(sm_u, jnp.uint32)[None, :],
+        jnp.asarray(om_u, jnp.uint32)[None, :],
+        rows,
+    )
+    return out.transpose(0, 2, 1, 3).reshape(bp, nf, num_channels)[:b]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("window_bits", "window_size", "window_step", "interpret"),
+)
+def clip_frontend(
+    audio_int32: jnp.ndarray,  # (B, T) int32 int16-range audio
+    window_coeffs: jnp.ndarray,  # (window,) int32 quantized Hann
+    pr: jnp.ndarray,  # (window, 256) f32 even-sample permutation
+    pi: jnp.ndarray,  # (window, 256) f32 odd-sample permutation
+    fb_whi: jnp.ndarray,  # (257, C) f32 filterbank weight hi limbs
+    fb_wlo: jnp.ndarray,  # (257, C) f32 filterbank weight lo limbs
+    window_bits: int = 12,
+    window_size: int = 480,
+    window_step: int = 320,
+    interpret: bool = False,
+):
+    """Whole stateless frontend prefix as ONE Pallas kernel per clip tile:
+    (B, T) audio -> (B, nf, C) uint32 sqrt-filterbank signal (input_shift
+    already applied). Framing happens in-kernel from hop-sized rows, so the
+    (B, nf, window) frame tensor never exists in HBM.
+
+    Requires window <= 2*window_step (true for the 30 ms/20 ms micro
+    config). Intended for clip-scale nf (training/eval); the streaming path
+    uses window_fft_energy on its own framing.
+    """
+    b, t = audio_int32.shape
+    win, step = window_size, window_step
+    assert win <= 2 * step, (win, step)
+    nf = 1 + (t - win) // step if t >= win else 0
+    num_channels = fb_whi.shape[1]
+    if nf <= 0:
+        return jnp.zeros((b, 0, num_channels), jnp.uint32)
+    rpc = nf + 1  # rows per clip (hop-sized), last row only feeds overlap
+    pad_to = rpc * step
+    if pad_to > t:
+        audio_int32 = jnp.pad(audio_int32, ((0, 0), (0, pad_to - t)))
+    else:
+        audio_int32 = audio_int32[:, :pad_to]
+
+    # clips per tile: target ~400 frame rows per kernel invocation
+    cb = max(1, 400 // rpc)
+    pad_b = (-b) % cb
+    if pad_b:
+        audio_int32 = jnp.pad(audio_int32, ((0, pad_b), (0, 0)))
+    bp = b + pad_b
+    rows = audio_int32.reshape(bp * rpc, step)
+    tile_rows = cb * rpc
+
+    out = pl.pallas_call(
+        functools.partial(
+            _clip_frontend_kernel,
+            window_bits=window_bits, step=step, window_size=win,
+        ),
+        grid=(bp // cb,),
+        in_specs=[
+            pl.BlockSpec((26, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, win), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((win, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((win, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (257, num_channels), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (257, num_channels), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tile_rows, step), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_rows, num_channels), lambda i: (i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bp * rpc, num_channels), jnp.uint32),
+        interpret=interpret,
+    )(
+        jnp.asarray(_TW_PACKED),
+        jnp.asarray(window_coeffs, jnp.int32)[None, :],
+        pr,
+        pi,
+        fb_whi,
+        fb_wlo,
+        rows,
+    )
+    # row c*rpc + nf is each clip's garbage overlap frame — slice it off
+    return out.reshape(bp, rpc, num_channels)[:b, :nf, :]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -87,6 +87,14 @@ def test_u32_frontend_features_with_pallas_interpret(monkeypatch):
         return orig_wfe(frames, win, pr, pi, window_bits, interpret=True)
 
     monkeypatch.setattr(pfft, "window_fft_energy", interp_wfe)
+
+    orig_cff = pfft.clip_frontend_features
+
+    def interp_cff(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig_cff(*args, **kwargs)
+
+    monkeypatch.setattr(pfft, "clip_frontend_features", interp_cff)
     rng = np.random.default_rng(3)
     batch = np.clip(rng.normal(0, 0.3, (2, 16000)), -1, 1).astype(np.float32)
     fe_pallas = MicroFrontendJax(FrontendConfig(), use_pallas=True)
@@ -94,3 +102,45 @@ def test_u32_frontend_features_with_pallas_interpret(monkeypatch):
     got = np.asarray(fe_pallas.features(batch))
     want = np.asarray(fe_scan.features(batch))
     np.testing.assert_array_equal(got, want)
+
+
+def test_clip_frontend_full_kernel_bit_exact_interpret():
+    """The fully-fused single-kernel frontend (framing->window->FFT->
+    filterbank->Sqrt64->NR->PCAN->log in one Pallas pass,
+    pallas_fft.clip_frontend_features) must equal the composed exact path
+    bit-for-bit — odd batch (not a clip-tile multiple) and a non-1s clip
+    length included."""
+    import jax.numpy as jnp
+
+    import multilingual_kws_tpu.ops.micro_int as mi
+    from multilingual_kws_tpu.ops.micro_exact import MicroFrontend
+    from multilingual_kws_tpu.ops.pallas_fft import clip_frontend_features
+
+    fe = MicroFrontendJax(FrontendConfig(), use_pallas=False)
+    host = MicroFrontend(FrontendConfig())
+    t = fe.t
+    kw = dict(
+        window_bits=12, window_size=t.window_size, window_step=t.window_step,
+        smoothing_bits=t.smoothing_bits, msr=int(t.min_signal_remaining),
+        enable_pcan=bool(t.enable_pcan), snr_shift=int(t.snr_shift),
+        wdf_rows=fe._wdf_rows_static, lut012=fe._lut012_static,
+        enable_log=bool(t.enable_log), correction_bits=int(t.correction_bits),
+        scale_shift=int(t.scale_shift), log_pairs=fe._log_pairs_static,
+        interpret=True,
+    )
+    rng = np.random.default_rng(11)
+    for b, samples in ((3, 16000), (2, 9000)):
+        audio = (
+            np.clip(rng.normal(0, 0.25, (b, samples)), -1, 1) * 32767
+        ).round().astype(np.int16)
+        want = np.asarray(
+            fe._suffix(fe.base_frames(jnp.asarray(audio)))
+        )
+        got = np.asarray(
+            clip_frontend_features(
+                jnp.asarray(audio, jnp.int32), fe.window_coeffs,
+                fe._fft_pr, fe._fft_pi, fe.fb_whi_f32, fe.fb_wlo_f32,
+                fe.sm_u, fe.om_u, **kw,
+            )
+        )
+        np.testing.assert_array_equal(got, want)
