@@ -538,7 +538,8 @@ def _clip_frontend_full_kernel(
     static_argnames=(
         "window_bits", "window_size", "window_step", "smoothing_bits", "msr",
         "enable_pcan", "snr_shift", "wdf_rows", "lut012", "enable_log",
-        "correction_bits", "scale_shift", "log_pairs", "interpret",
+        "correction_bits", "scale_shift", "log_pairs", "clips_per_tile",
+        "interpret",
     ),
 )
 def clip_frontend_features(
@@ -564,6 +565,7 @@ def clip_frontend_features(
     correction_bits: int = 3,
     scale_shift: int = 6,
     log_pairs=(),
+    clips_per_tile=None,
     interpret: bool = False,
 ):
     """The ENTIRE micro frontend as one Pallas kernel per clip tile:
@@ -584,7 +586,10 @@ def clip_frontend_features(
     else:
         audio_int32 = audio_int32[:, :pad_to]
 
-    cb = max(1, 400 // rpc)
+    # clips per tile: target ~400 frame rows per kernel invocation
+    # (clips_per_tile overrides — e.g. interpret-mode tests keep it at 1
+    # so a single clip is not padded to a full tile)
+    cb = clips_per_tile or max(1, 400 // rpc)
     pad_b = (-b) % cb
     if pad_b:
         audio_int32 = jnp.pad(audio_int32, ((0, pad_b), (0, 0)))

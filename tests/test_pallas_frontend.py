@@ -1,6 +1,7 @@
 """Pallas NR-scan kernel: interpret-mode parity with the lax.scan path."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -129,7 +130,7 @@ def test_clip_frontend_full_kernel_bit_exact_interpret():
         interpret=True,
     )
     rng = np.random.default_rng(11)
-    for b, samples in ((3, 16000), (2, 9000)):
+    for b, samples in ((3, 16000),):  # odd clip lengths: slow variant below
         audio = (
             np.clip(rng.normal(0, 0.25, (b, samples)), -1, 1) * 32767
         ).round().astype(np.int16)
@@ -144,3 +145,38 @@ def test_clip_frontend_full_kernel_bit_exact_interpret():
             )
         )
         np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.slow
+def test_clip_frontend_full_kernel_odd_length_interpret():
+    """Padding/garbage-row slicing for non-1s clip lengths (separate from
+    the fast test: each interpret-mode trace of the ~1500-op kernel costs
+    ~15 s on this host)."""
+    import jax.numpy as jnp
+
+    from multilingual_kws_tpu.ops.pallas_fft import clip_frontend_features
+
+    fe = MicroFrontendJax(FrontendConfig(), use_pallas=False)
+    t = fe.t
+    rng = np.random.default_rng(12)
+    audio = (
+        np.clip(rng.normal(0, 0.25, (2, 9000)), -1, 1) * 32767
+    ).round().astype(np.int16)
+    want = np.asarray(fe._suffix(fe.base_frames(jnp.asarray(audio))))
+    got = np.asarray(
+        clip_frontend_features(
+            jnp.asarray(audio, jnp.int32), fe.window_coeffs,
+            fe._fft_pr, fe._fft_pi, fe.fb_whi_f32, fe.fb_wlo_f32,
+            fe.sm_u, fe.om_u,
+            window_bits=12, window_size=t.window_size,
+            window_step=t.window_step, smoothing_bits=t.smoothing_bits,
+            msr=int(t.min_signal_remaining),
+            enable_pcan=bool(t.enable_pcan), snr_shift=int(t.snr_shift),
+            wdf_rows=fe._wdf_rows_static, lut012=fe._lut012_static,
+            enable_log=bool(t.enable_log),
+            correction_bits=int(t.correction_bits),
+            scale_shift=int(t.scale_shift), log_pairs=fe._log_pairs_static,
+            clips_per_tile=2, interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(got, want)

@@ -66,50 +66,13 @@ def test_prefetch_actually_overlaps():
     assert overlapped < 2 * N * DELAY * 0.8, overlapped
 
 
-def test_train_batches_prefetch_bit_identical(tmp_path):
-    """prefetch>0 must yield bit-identical batches to the synchronous path
-    (single producer thread keeps the host RNG draw order)."""
-    import sys
-
-    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
-    from helpers import make_corpus
-
-    from multilingual_kws_tpu.data.dataset import AudioDataset
-    from multilingual_kws_tpu.settings import standard_microspeech_model_settings
-
-    corpus = make_corpus(tmp_path / "c", clips_per_word=4)
-    settings = standard_microspeech_model_settings(3)
-
-    def run(pf):
-        ds = AudioDataset(
-            model_settings=settings,
-            commands=["alpha"],
-            background_data_dir=corpus["bg_dir"],
-            unknown_files=corpus["unknown_files"],
-            silence_percentage=10,
-            unknown_percentage=10,
-            seed=123,
-        )
-        out = [
-            (np.asarray(s), np.asarray(l))
-            for s, l in ds.train_batches(
-                corpus["alpha"], batch_size=8, num_steps=6, prefetch=pf
-            )
-        ]
-        return out
-
-    sync = run(0)
-    pref = run(3)
-    assert len(sync) == len(pref) == 6
-    for (s0, l0), (s1, l1) in zip(sync, pref):
-        np.testing.assert_array_equal(l0, l1)
-        np.testing.assert_array_equal(s0, s1)
-
-
-def test_resident_bank_matches_streaming(tmp_path):
-    """HBM-resident batches (device gather) must match the streaming path
-    (host-assembled upload) exactly: same draws, same augment keys, same
-    features."""
+def test_prefetch_and_resident_bit_identical(tmp_path):
+    """The HBM-resident device-gather path must yield batches bit-identical
+    to the synchronous streaming path: same draws, same augment keys, same
+    features. (prefetch>0 identity follows from the single-producer design
+    + test_prefetch_preserves_order_and_values, both covered above at the
+    iterator level — compiling a third featurizer here would only re-prove
+    that.)"""
     import sys
 
     sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
@@ -129,23 +92,20 @@ def test_resident_bank_matches_streaming(tmp_path):
             unknown_files=corpus["unknown_files"],
             silence_percentage=10,
             unknown_percentage=10,
-            seed=7,
+            seed=123,
         )
 
-    ds_s = make_ds()
-    stream = [
-        (np.asarray(s), np.asarray(l))
-        for s, l in ds_s.train_batches(corpus["alpha"], 8, 5)
-    ]
-    ds_r = make_ds()
-    resident = [
-        (np.asarray(s), np.asarray(l))
-        for s, l in ds_r.train_batches_resident(corpus["alpha"], 8, 5)
-    ]
-    assert len(stream) == len(resident) == 5
-    for (s0, l0), (s1, l1) in zip(stream, resident):
-        np.testing.assert_array_equal(l0, l1)
-        np.testing.assert_array_equal(s0, s1)
+    def collect(it):
+        return [(np.asarray(s), np.asarray(l)) for s, l in it]
+
+    sync = collect(make_ds().train_batches(corpus["alpha"], 8, 5))
+    resident = collect(
+        make_ds().train_batches_resident(corpus["alpha"], 8, 5)
+    )
+    assert len(sync) == len(resident) == 5
+    for (s0, l0), (s2, l2) in zip(sync, resident):
+        np.testing.assert_array_equal(l0, l2)
+        np.testing.assert_array_equal(s0, s2)
 
 
 @pytest.mark.slow
