@@ -232,6 +232,7 @@ def cmd_pretrain(args) -> None:
         checkpoint_dir=args.output,
         history_dest=args.history,
         steps_per_epoch=args.steps_per_epoch,
+        compute_dtype=args.compute_dtype,
     )
     resume_params = None
     if args.resume:
@@ -244,6 +245,8 @@ def cmd_pretrain(args) -> None:
 
     model = None
     if args.width_coefficient != 1.0 or args.depth_coefficient != 1.0:
+        import jax.numpy as jnp
+
         from ..models.efficientnet import EfficientNet
         from ..models.kws_model import KWSEmbeddingModel
 
@@ -255,6 +258,7 @@ def cmd_pretrain(args) -> None:
             trunk=EfficientNet(
                 width_coefficient=args.width_coefficient,
                 depth_coefficient=args.depth_coefficient,
+                dtype=jnp.dtype(args.compute_dtype),
             ),
         )
     state, model, history, _ = pretrain(
@@ -344,6 +348,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="EfficientNet width scaling (1.0 = B0)")
     pt.add_argument("--depth-coefficient", type=float, default=1.0,
                     help="EfficientNet depth scaling (1.0 = B0)")
+    pt.add_argument("--compute-dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="conv/dense/BN compute dtype (params, BN stats, "
+                         "embedding, logits and optimizer stay float32)")
     pt.set_defaults(fn=cmd_pretrain)
 
     it = sub.add_parser(

@@ -80,6 +80,7 @@ class ConvBnAct(nn.Module):
     strides: int = 1
     use_act: bool = True
     name_prefix: str = ""
+    dtype: Any = jnp.float32  # compute dtype; params/BN stats stay f32
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -96,9 +97,11 @@ class ConvBnAct(nn.Module):
             padding=padding,
             use_bias=False,
             name="conv",
+            dtype=self.dtype,
         )(x)
         x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.99, epsilon=1e-3, name="bn"
+            use_running_average=not train, momentum=0.99, epsilon=1e-3,
+            name="bn", dtype=self.dtype,
         )(x)
         if self.use_act:
             x = nn.swish(x)
@@ -113,6 +116,7 @@ class MBConvBlock(nn.Module):
     filters_out: int
     strides: int
     drop_rate: float = 0.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -121,10 +125,13 @@ class MBConvBlock(nn.Module):
         expanded = self.filters_in * a.expand_ratio
 
         if a.expand_ratio != 1:
-            x = nn.Conv(expanded, (1, 1), use_bias=False, name="expand_conv")(x)
+            x = nn.Conv(
+                expanded, (1, 1), use_bias=False, name="expand_conv",
+                dtype=self.dtype,
+            )(x)
             x = nn.BatchNorm(
                 use_running_average=not train, momentum=0.99, epsilon=1e-3,
-                name="expand_bn",
+                name="expand_bn", dtype=self.dtype,
             )(x)
             x = nn.swish(x)
 
@@ -143,9 +150,11 @@ class MBConvBlock(nn.Module):
             feature_group_count=expanded,
             use_bias=False,
             name="dw_conv",
+            dtype=self.dtype,
         )(x)
         x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.99, epsilon=1e-3, name="dw_bn"
+            use_running_average=not train, momentum=0.99, epsilon=1e-3,
+            name="dw_bn", dtype=self.dtype,
         )(x)
         x = nn.swish(x)
 
@@ -153,16 +162,23 @@ class MBConvBlock(nn.Module):
         if a.se_ratio and a.se_ratio > 0:
             se_filters = max(1, int(self.filters_in * a.se_ratio))
             se = jnp.mean(x, axis=(-3, -2), keepdims=True)
-            se = nn.Conv(se_filters, (1, 1), name="se_reduce")(se)
+            se = nn.Conv(
+                se_filters, (1, 1), name="se_reduce", dtype=self.dtype
+            )(se)
             se = nn.swish(se)
-            se = nn.Conv(expanded, (1, 1), name="se_expand")(se)
+            se = nn.Conv(
+                expanded, (1, 1), name="se_expand", dtype=self.dtype
+            )(se)
             se = nn.sigmoid(se)
             x = x * se
 
-        x = nn.Conv(self.filters_out, (1, 1), use_bias=False, name="project_conv")(x)
+        x = nn.Conv(
+            self.filters_out, (1, 1), use_bias=False, name="project_conv",
+            dtype=self.dtype,
+        )(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.99, epsilon=1e-3,
-            name="project_bn",
+            name="project_bn", dtype=self.dtype,
         )(x)
 
         if self.strides == 1 and self.filters_in == self.filters_out:
@@ -186,12 +202,16 @@ class EfficientNet(nn.Module):
     # Keras prepends Normalization(axis=-1): (x - mean)/sqrt(var). Folded by
     # the TF importer into (scale, bias); identity when never adapted.
     input_bias: float = 0.0
+    # compute dtype (activations/conv math); params and BN running stats
+    # stay float32 — pass jnp.bfloat16 for mixed-precision on the MXU
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = x * self.input_scale + self.input_bias
+        x = x.astype(self.dtype)
         stem = round_filters(32, self.width_coefficient)
-        x = ConvBnAct(stem, 3, strides=2, name="stem")(x, train)
+        x = ConvBnAct(stem, 3, strides=2, name="stem", dtype=self.dtype)(x, train)
 
         total_blocks = sum(
             round_repeats(b.num_repeat, self.depth_coefficient) for b in self.blocks
@@ -209,12 +229,13 @@ class EfficientNet(nn.Module):
                     filters_out=f_out,
                     strides=b.strides if r == 0 else 1,
                     drop_rate=drop,
+                    dtype=self.dtype,
                     name=f"block{stage + 1}{chr(ord('a') + r)}",
                 )(x, train)
                 bidx += 1
 
         head = round_filters(1280, self.width_coefficient)
-        x = ConvBnAct(head, 1, strides=1, name="top")(x, train)
+        x = ConvBnAct(head, 1, strides=1, name="top", dtype=self.dtype)(x, train)
         return x
 
 

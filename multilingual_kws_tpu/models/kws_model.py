@@ -31,18 +31,23 @@ EMBEDDING_DIM = 192
 class EmbeddingHead(nn.Module):
     """GAP -> 1024 relu -> 1024 relu -> 192 selu (the embedding)."""
 
+    dtype: Any = jnp.float32
+
     @nn.compact
     def __call__(self, feature_map):
         x = jnp.mean(feature_map, axis=(-3, -2))  # GlobalAveragePooling2D
-        x = nn.relu(nn.Dense(1024, name="dense_0")(x))
-        x = nn.relu(nn.Dense(1024, name="dense_1")(x))
+        x = nn.relu(nn.Dense(1024, name="dense_0", dtype=self.dtype)(x))
+        x = nn.relu(nn.Dense(1024, name="dense_1", dtype=self.dtype)(x))
         # reference: Dense(192, activation="selu", kernel_initializer="lecun_normal")
         x = nn.Dense(
             EMBEDDING_DIM,
             kernel_init=nn.initializers.lecun_normal(),
             name="dense_2",
+            dtype=self.dtype,
         )(x)
-        return nn.activation.selu(x)
+        # the embedding itself stays f32 (it is the public 192-d vector and
+        # feeds selu, which is precision-sensitive around alpha*expm1)
+        return nn.activation.selu(x.astype(jnp.float32))
 
 
 class KWSEmbeddingModel(nn.Module):
@@ -52,7 +57,8 @@ class KWSEmbeddingModel(nn.Module):
     trunk: EfficientNet
 
     def setup(self):
-        self.embedding_head = EmbeddingHead()
+        self.embedding_head = EmbeddingHead(dtype=self.trunk.dtype)
+        # classifier logits in f32 (loss stability)
         self.classifier = nn.Dense(self.num_labels)
 
     def __call__(self, x, train: bool = False, return_embedding: bool = False):
@@ -90,7 +96,7 @@ class KWSTransferModel(nn.Module):
     num_categories: int = 3
 
     def setup(self):
-        self.embedding_head = EmbeddingHead()
+        self.embedding_head = EmbeddingHead(dtype=self.trunk.dtype)
         self.transfer_head = TransferHead(self.num_categories)
 
     def __call__(self, x, train: bool = False):

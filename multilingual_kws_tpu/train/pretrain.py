@@ -62,6 +62,10 @@ class PretrainConfig:
     # features are bit-identical to the streaming path.
     resident_data: Optional[bool] = None
     resident_max_bytes: int = 4 << 30
+    # "bfloat16" runs conv/dense/BN compute in bf16 on the MXU (params, BN
+    # running stats, the 192-d embedding, logits and the optimizer all stay
+    # float32 — standard TPU mixed precision). "float32" = reference-exact.
+    compute_dtype: str = "float32"
 
 
 def build_pretrain_step(model, tx, mesh):
@@ -198,7 +202,10 @@ def pretrain(
         input_sharding=meshlib.batch_sharding(mesh),
     )
     num_labels = len(dataset.commands)
-    model = model or make_embedding_model(num_labels)
+    assert config.compute_dtype in ("float32", "bfloat16"), config.compute_dtype
+    model = model or make_embedding_model(
+        num_labels, dtype=jnp.dtype(config.compute_dtype)
+    )
 
     rng = jax.random.PRNGKey(config.shuffle_seed)
     dummy = jnp.zeros(

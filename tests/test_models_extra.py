@@ -191,3 +191,39 @@ def test_frr_fa_view():
     v = frr_fa_view(roc)
     assert v["false_rejection_rates"] == [0.0, 0.5]
     assert v["false_accepts_per_sec"] == [0.01, 0.0]
+
+
+def test_bf16_compute_dtype_matches_f32_closely():
+    """Mixed precision: dtype=bf16 models share the f32 param tree and
+    produce logits close to the f32 path (params, BN stats, embedding and
+    logits all stay f32 — only conv/dense/BN compute runs bf16)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multilingual_kws_tpu.models.efficientnet import EfficientNet
+    from multilingual_kws_tpu.models.kws_model import KWSEmbeddingModel
+
+    def make(dtype):
+        return KWSEmbeddingModel(
+            num_labels=5,
+            trunk=EfficientNet(
+                width_coefficient=0.25, depth_coefficient=0.25, dtype=dtype
+            ),
+        )
+
+    m32, mbf = make(jnp.float32), make(jnp.bfloat16)
+    v = m32.init(jax.random.PRNGKey(0), jnp.zeros((1, 49, 40, 1)), train=False)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
+        mbf.init(jax.random.PRNGKey(0), jnp.zeros((1, 49, 40, 1)), train=False)
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 49, 40, 1)) * 5 + 10
+    o32 = np.asarray(m32.apply(v, x, train=False))
+    obf = np.asarray(mbf.apply(v, x, train=False))
+    assert obf.dtype == np.float32
+    scale = np.abs(o32).max() + 1e-9
+    assert np.abs(o32 - obf).max() / scale < 0.1, (o32, obf)
+
+    # embedding vector stays float32 too
+    emb = mbf.apply(v, x, train=False, method=mbf.embed)
+    assert emb.dtype == jnp.float32 and emb.shape == (2, 192)
