@@ -68,23 +68,26 @@ class StreamTarget:
     destination_result_inferences: Optional[str] = None
 
 
-def featurize_stream(
+def stream_feature_chunks(
     audio: np.ndarray,
     sample_rate: int,
     flags: StreamFlags,
     frontend: Optional[MicroFrontendJax] = None,
-) -> np.ndarray:
-    """Long waveform -> (num_windows, 49, 40) float32 feature windows.
+):
+    """Long waveform -> iterator of DEVICE (n_w, 49, 40) float32 feature
+    windows, chunked by max_chunk_length_sec.
 
     Number/timing of windows matches the reference exactly:
-    range(0, len(audio) - clip_samples, stride_samples).
-    """
+    range(0, len(audio) - clip_samples, stride_samples). Keeping the
+    windows on device matters: at 20 ms hop a window batch is ~400 KB of
+    features per second of audio, and pulling it to host only to push it
+    back for the model predict doubles a multi-hundred-MB transfer."""
     frontend = frontend or MicroFrontendJax(FrontendConfig(sample_rate=sample_rate))
     clip_samples = int(flags.clip_duration_ms * sample_rate / 1000)
     stride_samples = int(flags.clip_stride_ms * sample_rate / 1000)
     audio_data_end = audio.shape[0] - clip_samples
     if audio_data_end <= 0:
-        return np.zeros((0, 49, 40), np.float32)
+        return
     num_windows = int(np.ceil(audio_data_end / stride_samples))
 
     i16 = np.clip(np.trunc(audio * 32768.0), -32768, 32767).astype(np.int32)
@@ -92,15 +95,31 @@ def featurize_stream(
     max_chunk_windows = max(
         1, int(flags.max_chunk_length_sec * sample_rate) // stride_samples
     )
-    outs = []
     w = 0
     while w < num_windows:
         n_w = min(max_chunk_windows, num_windows - w)
         start = w * stride_samples
         end = start + (n_w - 1) * stride_samples + clip_samples
         chunk = i16[start:end]
-        outs.append(np.asarray(frontend.stream_features(chunk, n_w)))
+        yield frontend.stream_features(chunk, n_w)
         w += n_w
+
+
+def featurize_stream(
+    audio: np.ndarray,
+    sample_rate: int,
+    flags: StreamFlags,
+    frontend: Optional[MicroFrontendJax] = None,
+) -> np.ndarray:
+    """Long waveform -> host (num_windows, 49, 40) float32 feature windows
+    (materialized; calculate_streaming_accuracy uses the device-resident
+    stream_feature_chunks instead)."""
+    outs = [
+        np.asarray(c)
+        for c in stream_feature_chunks(audio, sample_rate, flags, frontend)
+    ]
+    if not outs:
+        return np.zeros((0, 49, 40), np.float32)
     return np.concatenate(outs, axis=0)
 
 
@@ -130,14 +149,19 @@ def calculate_streaming_accuracy(
     if existing_inferences is not None:
         inferences = np.asarray(existing_inferences)
     else:
-        windows = featurize_stream(audio, sample_rate, f0, frontend=frontend)
+        # features stay ON DEVICE end to end; only the (B, 3) softmax rows
+        # come back to host (~1000x less transfer than materializing the
+        # feature windows)
         preds = []
-        for i in range(0, windows.shape[0], batch_size):
-            preds.append(
-                np.asarray(predict_fn(windows[i : i + batch_size][..., None]))
-            )
+        for wdev in stream_feature_chunks(
+            audio, sample_rate, f0, frontend=frontend
+        ):
+            for i in range(0, wdev.shape[0], batch_size):
+                preds.append(predict_fn(wdev[i : i + batch_size][..., None]))
         inferences = (
-            np.concatenate(preds, axis=0) if preds else np.zeros((0, 3), np.float32)
+            np.concatenate([np.asarray(p) for p in preds], axis=0)
+            if preds
+            else np.zeros((0, 3), np.float32)
         )
 
     times_ms = np.array(
