@@ -504,6 +504,11 @@ def run_extra() -> None:
 
 
 def main():
+    from multilingual_kws_tpu.utils.compilation_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
     if "--extra" in sys.argv:
         run_extra()
         return

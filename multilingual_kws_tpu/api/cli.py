@@ -364,6 +364,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: Optional[List[str]] = None) -> None:
+    from ..utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()  # TPU only; no-op on CPU
     args = build_parser().parse_args(argv)
     args.fn(args)
 

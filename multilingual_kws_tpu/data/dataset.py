@@ -51,6 +51,60 @@ def _file2spec_frontend(sample_rate: int) -> MicroFrontendJax:
     return MicroFrontendJax(FrontendConfig(sample_rate=sample_rate))
 
 
+@functools.lru_cache(maxsize=8)
+def _shared_frontend(config: FrontendConfig) -> MicroFrontendJax:
+    """One frontend instance per config, so datasets with the same config
+    share jit caches (MicroFrontendJax jits per instance)."""
+    return MicroFrontendJax(config)
+
+
+def _augment_featurize(
+    frontend, aug_params, key, waveforms, is_silence, bg_data, bg_sizes
+):
+    """The whole train-batch device transform, as a pure function.
+
+    waveforms arrive as int16 PCM (half the host->device bytes); /32768 in
+    f32 is exact, so this matches the read_wav float path bit for bit.
+    """
+    waveforms = waveforms.astype(jnp.float32) * (1.0 / 32768.0)
+    k_aug, k_spec = jax.random.split(key)
+    wav = augment_waveforms(
+        k_aug, waveforms, is_silence, bg_data, bg_sizes, aug_params
+    )
+    specs = frontend.features(wav)
+    specs = spec_augment(k_spec, specs, aug_params.spec_aug)
+    return specs[..., None]  # add channel dim
+
+
+def _resident_gather(bank, idx, is_silence):
+    # batch assembly on device: gather rows from the HBM-resident bank,
+    # zero the silence rows (the streaming path ships them as zeros)
+    return jnp.where(is_silence[:, None], jnp.int16(0), bank[idx])
+
+
+@functools.lru_cache(maxsize=16)
+def _jitted_device_fns(frontend: MicroFrontendJax, aug_params):
+    """Jitted (train, resident-train, eval) device transforms, shared by
+    every AudioDataset with the same frontend + augment params. The
+    background bank is an ARGUMENT (not a closure constant) so different
+    corpora reuse the same executable per bank shape."""
+    train = jax.jit(functools.partial(_augment_featurize, frontend, aug_params))
+
+    @jax.jit
+    def resident(key, bank, idx, is_silence, bg_data, bg_sizes):
+        wav = _resident_gather(bank, idx, is_silence)
+        return _augment_featurize(
+            frontend, aug_params, key, wav, is_silence, bg_data, bg_sizes
+        )
+
+    @jax.jit
+    def eval_fn(waveforms):
+        waveforms = waveforms.astype(jnp.float32) * (1.0 / 32768.0)
+        return frontend.features(waveforms)[..., None]
+
+    return train, resident, eval_fn
+
+
 def load_background_bank(background_dir) -> Tuple[np.ndarray, np.ndarray]:
     """All background wavs into one padded array (reference
     get_background_data, input_data.py:375-394)."""
@@ -117,7 +171,7 @@ class AudioDataset:
             background_volume_range=background_volume_range,
             spec_aug=spec_aug_params,
         )
-        self.frontend = frontend or MicroFrontendJax(
+        self.frontend = frontend or _shared_frontend(
             FrontendConfig(
                 sample_rate=model_settings.sample_rate,
                 window_size_ms=int(model_settings.window_size_ms),
@@ -135,36 +189,34 @@ class AudioDataset:
         self._split_fn = jax.jit(lambda k: tuple(jax.random.split(k)))
         self._wav_cache: Dict[str, np.ndarray] = {}
 
-        self._train_device_fn = jax.jit(self._train_device)
-        self._train_device_resident_fn = jax.jit(self._train_device_resident)
-        self._eval_device_fn = jax.jit(self._eval_device)
+        # jitted device fns shared ACROSS dataset instances (lru-cached by
+        # frontend + augment params; bg bank passed as an argument): the
+        # reference rebuilds its tf.data graph per job — here the hundredth
+        # transfer_learn call reuses the first one's compiled augmentation
+        train_j, resident_j, eval_j = _jitted_device_fns(
+            self.frontend, self.aug_params
+        )
+        self._train_device_fn = lambda key, wav, sil: train_j(
+            key, wav, sil, self.bg_data, self.bg_sizes
+        )
+        self._train_device_resident_fn = lambda key, bank, idx, sil: resident_j(
+            key, bank, idx, sil, self.bg_data, self.bg_sizes
+        )
+        self._eval_device_fn = eval_j
 
     # -- device functions -----------------------------------------------------
 
     def _train_device(self, key, waveforms, is_silence):
-        # waveforms arrive as int16 PCM (half the host->device bytes);
-        # /32768 in f32 is exact, so this matches the read_wav float path
-        # bit for bit
-        waveforms = waveforms.astype(jnp.float32) * (1.0 / 32768.0)
-        k_aug, k_spec = jax.random.split(key)
-        wav = augment_waveforms(
-            k_aug, waveforms, is_silence, self.bg_data, self.bg_sizes,
-            self.aug_params,
+        """Un-jitted device math (the fused pretrain step traces it inline;
+        the jitted pipeline path goes through _jitted_device_fns)."""
+        return _augment_featurize(
+            self.frontend, self.aug_params, key, waveforms, is_silence,
+            self.bg_data, self.bg_sizes,
         )
-        specs = self.frontend.features(wav)
-        specs = spec_augment(k_spec, specs, self.aug_params.spec_aug)
-        return specs[..., None]  # add channel dim
 
     def _train_device_resident(self, key, bank, idx, is_silence):
-        # batch assembly on device: gather rows from the HBM-resident bank,
-        # zero the silence rows (streaming path ships them as zeros), then
-        # the same augment+featurize — bit-identical to _train_device
-        wav = jnp.where(is_silence[:, None], jnp.int16(0), bank[idx])
+        wav = _resident_gather(bank, idx, is_silence)
         return self._train_device(key, wav, is_silence)
-
-    def _eval_device(self, waveforms):
-        waveforms = waveforms.astype(jnp.float32) * (1.0 / 32768.0)
-        return self.frontend.features(waveforms)[..., None]
 
     # -- host helpers -----------------------------------------------------------
 

@@ -11,6 +11,7 @@ LR 1e-3, UNKNOWN_PERCENTAGE 50.
 
 from __future__ import annotations
 
+import functools
 import json
 import time
 from dataclasses import dataclass, field
@@ -31,6 +32,13 @@ from .metrics import CSVLogger
 
 
 HEAD_PREFIX = "transfer_head"
+
+
+@functools.lru_cache(maxsize=8)
+def _cached_predict(model):
+    return jax.jit(
+        lambda variables, specs: model.apply(variables, specs, train=False)
+    )
 
 
 def _head_only(path: Tuple[str, ...]) -> bool:
@@ -63,10 +71,15 @@ class FinetuneResult:
         return cols
 
     def predict_fn(self):
-        """Jitted (B, 49, 40, 1) -> (B, 3) softmax predictor."""
+        """Jitted (B, 49, 40, 1) -> (B, 3) softmax predictor.
+
+        Weights are passed as ARGUMENTS to a jit cached by model config, so
+        every fine-tune result of the same architecture shares one compiled
+        executable (a closure-captured-weights jit would recompile the full
+        trunk per result — ~35 s per keyword in a batch job)."""
+        f = _cached_predict(self.model)
         variables = self.variables()
-        model = self.model
-        return jax.jit(lambda specs: model.apply(variables, specs, train=False))
+        return lambda specs: f(variables, specs)
 
 
 def transfer_learn(
@@ -170,10 +183,25 @@ def transfer_learn(
 
     logger = CSVLogger(csvlog_dest) if csvlog_dest else None
 
+    # few-shot training sets (shots + unknowns) are small: keep the clips
+    # HBM-resident so each of the ~256 steps uploads only indices instead of
+    # re-shipping the audio (data/dataset.py build_resident_bank)
+    uniq = set(train_files) | set(unknown_files)
+    resident = (
+        len(uniq) * model_settings.desired_samples * 2 <= (1 << 30)
+    )
+    bank = dataset.build_resident_bank(train_files) if resident else None
+
     def run_phase(params, lr, trainable):
         init_state, step, evaluate, predict = make_finetune_step(
             model, lr, trainable
         )
+        if resident:
+            from .steps import make_finetune_epoch_scan
+
+            epoch_scan = make_finetune_epoch_scan(
+                model, lr, trainable, dataset.frontend, dataset.aug_params
+            )
         state = init_state({"params": params, "batch_stats": batch_stats})
         # reference quirk kept: steps_per_epoch = batch_size * num_batches
         # (transfer_learning.py:86-93)
@@ -181,15 +209,44 @@ def transfer_learn(
         history = {"val_accuracy": [], "val_loss": [], "accuracy": [], "loss": []}
         for epoch in range(num_epochs):
             t0 = time.time()
-            metrics = {}
-            batches = dataset.train_batches(
-                train_files, batch_size=batch_size, num_steps=steps_per_epoch
-            )
             losses, accs = [], []
-            for specs, labels in batches:
-                state, metrics = step(state, specs, labels)
-                losses.append(metrics["loss"])
-                accs.append(metrics["accuracy"])
+            if resident:
+                # whole epoch = ONE device program (lax.scan over the
+                # gather->augment->featurize->step chain): one dispatch and
+                # one small index upload instead of 64 round trips
+                idx_a, lbl_a, sil_a = [], [], []
+                for paths_, lbl, sil in dataset.host_train_paths(
+                    train_files, batch_size, steps_per_epoch
+                ):
+                    idx_a.append(
+                        [0 if p is None else bank["index"][p] for p in paths_]
+                    )
+                    lbl_a.append(lbl)
+                    sil_a.append(sil)
+                keys = jnp.stack(
+                    [dataset._next_key() for _ in range(steps_per_epoch)]
+                )
+                idx_d, lbl_d, sil_d = dataset._put_batch(
+                    (
+                        np.asarray(idx_a, np.int32),
+                        np.asarray(lbl_a, np.int32),
+                        np.asarray(sil_a, bool),
+                    )
+                )
+                state, loss_seq, acc_seq = epoch_scan(
+                    state, bank["bank"], dataset.bg_data, dataset.bg_sizes,
+                    idx_d, lbl_d, sil_d, keys,
+                )
+                losses = list(np.asarray(loss_seq))
+                accs = list(np.asarray(acc_seq))
+            else:
+                for specs, labels in dataset.train_batches(
+                    train_files, batch_size=batch_size,
+                    num_steps=steps_per_epoch, prefetch=2,
+                ):
+                    state, metrics = step(state, specs, labels)
+                    losses.append(metrics["loss"])
+                    accs.append(metrics["accuracy"])
             val = evaluate_dataset(evaluate, state, dataset, val_files, batch_size)
             ep = {
                 "epoch": epoch,

