@@ -232,6 +232,37 @@ class AudioDataset:
                 self._wav_cache[path] = cached
         return cached
 
+    def _load_many(self, paths: Sequence[str]) -> np.ndarray:
+        """Batch clip load -> int16 (N, samples): cache misses go through
+        the native threaded wav loader (native/wavloader.py) in one call;
+        bit-identical to per-file _load (same reader semantics)."""
+        n = self.model_settings.desired_samples
+        out = np.empty((len(paths), n), np.int16)
+        misses = set(p for p in paths if p not in self._wav_cache)
+        if misses:
+            miss_paths = sorted(misses)
+            try:
+                from ..native.wavloader import load_batch
+
+                loaded = load_batch(miss_paths, n)
+            except Exception:  # no compiler / build failure: python reader
+                loaded = np.stack(
+                    [
+                        read_wav_int16(p, desired_samples=n)[0]
+                        for p in miss_paths
+                    ]
+                )
+            by_path = dict(zip(miss_paths, loaded))
+            for p, row in by_path.items():
+                if len(self._wav_cache) < 4096:
+                    self._wav_cache[p] = row
+            for i, p in enumerate(paths):
+                out[i] = self._wav_cache.get(p, by_path.get(p))
+        else:
+            for i, p in enumerate(paths):
+                out[i] = self._wav_cache[p]
+        return out
+
     def _next_key(self):
         self.key, sub = self._split_fn(self.key)
         return sub
@@ -294,7 +325,7 @@ class AudioDataset:
         Returns {"bank": device array, "index": {path: row}}.
         """
         uniq = list(dict.fromkeys(list(files) + list(self.unknown_files)))
-        arr = np.stack([self._load(f) for f in uniq])
+        arr = self._load_many(uniq)  # native threaded loader for misses
         if self.input_sharding is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 
@@ -351,9 +382,11 @@ class AudioDataset:
             single_target=single_target,
         ):
             wav = np.zeros((batch_size, n), dtype=np.int16)
-            for i, p in enumerate(paths):
-                if p is not None:
-                    wav[i] = self._load(p)
+            real = [(i, p) for i, p in enumerate(paths) if p is not None]
+            if real:
+                loaded = self._load_many([p for _, p in real])
+                for (i, _), row in zip(real, loaded):
+                    wav[i] = row
             yield wav, lbl, sil
 
     def host_train_paths(

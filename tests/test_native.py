@@ -131,3 +131,72 @@ def test_phase_timer():
     assert t.counts["outer"] == 1 and t.counts["outer/inner"] == 1
     assert t.totals["outer"] >= t.totals["outer/inner"]
     assert "outer" in t.report()
+
+
+def test_native_wavloader_matches_python_reader(tmp_path):
+    """native/wavloader.load_batch must be bit-identical to
+    utils/wav.read_wav_int16 — incl. truncation, padding, stereo (channel
+    0), and the Python fallback for 8-bit files."""
+    import numpy as np
+    import wave
+
+    from multilingual_kws_tpu.native import wavloader
+    from multilingual_kws_tpu.utils.wav import read_wav_int16, write_wav
+
+    rng = np.random.default_rng(4)
+    paths = []
+    # mono, exact / short / long
+    for i, n in enumerate((16000, 9000, 20000)):
+        p = tmp_path / f"m{i}.wav"
+        write_wav(p, rng.normal(0, 0.3, n).clip(-1, 1).astype(np.float32))
+        paths.append(str(p))
+    # stereo 16-bit: native must take channel 0
+    st = (rng.normal(0, 0.3, (500, 2)).clip(-1, 1) * 32767).astype(np.int16)
+    p = tmp_path / "stereo.wav"
+    with wave.open(str(p), "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(st.tobytes())
+    paths.append(str(p))
+    # 8-bit: unsupported natively -> python fallback path
+    p = tmp_path / "u8.wav"
+    with wave.open(str(p), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(16000)
+        w.writeframes((rng.integers(0, 256, 300).astype(np.uint8)).tobytes())
+    paths.append(str(p))
+
+    got = wavloader.load_batch(paths, desired_samples=16000)
+    want = np.stack(
+        [read_wav_int16(p, desired_samples=16000)[0] for p in paths]
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_load_many_uses_cache_and_matches(tmp_path):
+    import numpy as np
+
+    from multilingual_kws_tpu.data.dataset import AudioDataset
+    from multilingual_kws_tpu.settings import standard_microspeech_model_settings
+    from multilingual_kws_tpu.utils.wav import write_wav
+
+    rng = np.random.default_rng(5)
+    files = []
+    for i in range(6):
+        p = tmp_path / f"c{i}.wav"
+        write_wav(p, rng.normal(0, 0.2, 16000).clip(-1, 1).astype(np.float32))
+        files.append(str(p))
+    bg = tmp_path / "bg"
+    bg.mkdir()
+    write_wav(bg / "n.wav", rng.normal(0, 0.05, 32000).clip(-1, 1).astype(np.float32))
+    ds = AudioDataset(
+        model_settings=standard_microspeech_model_settings(3),
+        commands=["w"], background_data_dir=bg, unknown_files=[], seed=0,
+    )
+    batch = ds._load_many(files + files[:2])  # duplicates + misses
+    singles = np.stack([ds._load(f) for f in files + files[:2]])
+    np.testing.assert_array_equal(batch, singles)
+    # second call: pure cache hits
+    np.testing.assert_array_equal(ds._load_many(files), singles[:6])
