@@ -292,10 +292,12 @@ def measure_pretrain_e2e(tmp) -> dict:
         silence_percentage=1.0, seed=0,
         input_sharding=meshlib.batch_sharding(mesh),
     )
+    import jax.numpy as jnp
+
     model = make_embedding_model(num_labels=761)
+    model_bf16 = make_embedding_model(num_labels=761, dtype=jnp.bfloat16)
     tx = adam(1e-3)
     init_fn, step_fn, _ = build_pretrain_step(model, tx, mesh)
-    import jax.numpy as jnp
 
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 49, 40, 1), jnp.float32), train=False
@@ -307,10 +309,12 @@ def measure_pretrain_e2e(tmp) -> dict:
     from multilingual_kws_tpu.train.pretrain import build_fused_resident_step
 
     bank = dataset.build_resident_bank(files)
-    fused = build_fused_resident_step(model, tx, mesh, dataset)
+    fused_f32 = build_fused_resident_step(model, tx, mesh, dataset)
+    fused_bf16 = build_fused_resident_step(model_bf16, tx, mesh, dataset)
 
     def run_epoch(mode):
         nonlocal key
+        fused = fused_bf16 if mode == "resident_fused_bf16" else fused_f32
 
         def batches(steps):
             if mode == "resident":
@@ -325,7 +329,7 @@ def measure_pretrain_e2e(tmp) -> dict:
 
         def run_steps(steps):
             nonlocal key, state
-            if mode == "resident_fused":
+            if mode.startswith("resident_fused"):
                 for paths, lbl, sil in dataset.host_train_paths(
                     files, batch_size=BS, num_steps=steps, labels=labels,
                     single_target=False,
@@ -359,6 +363,7 @@ def measure_pretrain_e2e(tmp) -> dict:
     pref = run_epoch("prefetch")
     res = run_epoch("resident")
     res_fused = run_epoch("resident_fused")
+    res_bf16 = run_epoch("resident_fused_bf16")
     compute_bound = 30935  # 16.6 ms/step at bs 512, round 1 (train step only)
     return {
         "metric": "761-way pretrain END-TO-END incl. input pipeline (bs 512)",
@@ -366,8 +371,9 @@ def measure_pretrain_e2e(tmp) -> dict:
         "stream_prefetch2_clips_per_sec": round(pref, 0),
         "hbm_resident_clips_per_sec": round(res, 0),
         "hbm_resident_fused_clips_per_sec": round(res_fused, 0),
+        "hbm_resident_fused_bf16_clips_per_sec": round(res_bf16, 0),
         "unit": "clips/sec",
-        "pct_of_train_step_bound": round(100 * res_fused / compute_bound, 1),
+        "pct_of_train_step_bound": round(100 * res_bf16 / compute_bound, 1),
     }
 
 
