@@ -491,7 +491,8 @@ def run_extra() -> None:
             "metric": "exact-frontend history (bs 2048 full pipeline)",
             "round1_float_emulation_offgrid": 68533,
             "round2_int_unfused": 53021,
-            "round2_int_fused_pallas": round(ours, 0),
+            "round2_int_fused_fft_kernel": 61759,
+            "round2_single_kernel_frontend": round(ours, 0),
             "unit": "clips/sec",
             "note": "round-2 paths are bit-exact vs the reference op; round 1 was not",
         }
