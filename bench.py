@@ -330,14 +330,10 @@ def measure_pretrain_e2e(tmp) -> dict:
         def run_steps(steps):
             nonlocal key, state
             if mode.startswith("resident_fused"):
-                for paths, lbl, sil in dataset.host_train_paths(
-                    files, batch_size=BS, num_steps=steps, labels=labels,
+                for idx, lbl, sil in dataset.host_train_indices(
+                    files, BS, steps, bank, labels=labels,
                     single_target=False,
                 ):
-                    idx = np.array(
-                        [0 if p is None else bank["index"][p] for p in paths],
-                        dtype=np.int32,
-                    )
                     idx, lbl, sil = dataset._put_batch((idx, lbl, sil))
                     key, sub = split_fn(key)
                     state, _ = fused(

@@ -364,10 +364,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: Optional[List[str]] = None) -> None:
+    args = build_parser().parse_args(argv)
+    # after parsing: --help / bad flags must not pay TPU backend init
     from ..utils.compilation_cache import enable_compilation_cache
 
     enable_compilation_cache()  # TPU only; no-op on CPU
-    args = build_parser().parse_args(argv)
     args.fn(args)
 
 

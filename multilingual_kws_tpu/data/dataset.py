@@ -335,6 +335,31 @@ class AudioDataset:
             bank = jax.device_put(arr)
         return {"bank": bank, "index": {f: i for i, f in enumerate(uniq)}}
 
+    def host_train_indices(
+        self,
+        files: Sequence[str],
+        batch_size: int,
+        num_steps: int,
+        bank,
+        labels: Optional[Sequence[str]] = None,
+        single_target: bool = True,
+    ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """The batch draw mapped onto resident-bank rows: yields numpy
+        (bank row indices (B,), label_ids (B,), is_silence (B,)) per step.
+        THE single definition of the silence convention: silence slots
+        point at bank row 0 and are zeroed on device by the is_silence
+        mask (every resident consumer — train_batches_resident, the fused
+        pretrain step, the fine-tune epoch scan — goes through here)."""
+        row = bank["index"]
+        for paths, lbl, sil in self.host_train_paths(
+            files, batch_size, num_steps, labels=labels,
+            single_target=single_target,
+        ):
+            idx = np.array(
+                [0 if p is None else row[p] for p in paths], dtype=np.int32
+            )
+            yield idx, lbl, sil
+
     def train_batches_resident(
         self,
         files: Sequence[str],
@@ -346,18 +371,13 @@ class AudioDataset:
     ) -> Iterator[Tuple[jnp.ndarray, jnp.ndarray]]:
         """train_batches with the audio already in HBM (build_resident_bank):
         same draws, same augmentation, same specs — but each step uploads
-        only (indices, labels, silence flags). Silence rows gather row 0 and
-        are zeroed on device by the is_silence mask."""
+        only (indices, labels, silence flags)."""
         bank = bank or self.build_resident_bank(files)
-        row = bank["index"]
         bank_arr = bank["bank"]
-        for paths, lbl, sil in self.host_train_paths(
-            files, batch_size, num_steps, labels=labels,
+        for idx, lbl, sil in self.host_train_indices(
+            files, batch_size, num_steps, bank, labels=labels,
             single_target=single_target,
         ):
-            idx = np.array(
-                [0 if p is None else row[p] for p in paths], dtype=np.int32
-            )
             idx, lbl, sil = self._put_batch((idx, lbl, sil))
             specs = self._train_device_resident_fn(
                 self._next_key(), bank_arr, idx, sil
@@ -463,8 +483,9 @@ class AudioDataset:
             label_ids = [self.label_to_id[l] for l in labels]
 
         n = self.model_settings.desired_samples
+        loaded = self._load_many(files)  # native threaded loader
         entries: List[Tuple[np.ndarray, int]] = [
-            (self._load(f), label_ids[i]) for i, f in enumerate(files)
+            (loaded[i], label_ids[i]) for i in range(len(files))
         ]
         if with_silence_unknown:
             n_sil = int(len(files) * self.silence_percentage / 100)
@@ -476,9 +497,11 @@ class AudioDataset:
                 off = self.host_rng.integers(max(bgs[bi] - n, 1))
                 vol = self.host_rng.uniform()
                 sil = np.clip(
-                    np.round(bgd[bi, off : off + n] * vol * 32768.0),
+                    np.trunc(bgd[bi, off : off + n] * vol * 32768.0),
                     -32768, 32767,
-                ).astype(np.int16)  # int16 grid ≡ materializing to wav
+                ).astype(np.int16)  # trunc(x*32768): the library's float->
+                # int16 convention, matching what the frontend applied when
+                # this path fed float audio directly
                 entries.append((sil, self.label_to_id[SILENCE_LABEL]))
             for _ in range(n_unk):
                 upath = self.unknown_files[

@@ -11,7 +11,10 @@ the main thread keeps the device busy.
 One producer thread is deliberate — batch assembly draws from the
 dataset's host RNG, and a single thread preserves the exact draw order, so
 prefetched runs are bit-identical to synchronous ones (tested in
-tests/test_pipeline.py). JAX dispatch stays on the consumer thread.
+tests/test_pipeline.py). When train_batches prefetches, the producer
+thread ALSO performs the jax.device_put (deliberately, so the upload
+overlaps the device step — device_put is thread-safe); all other JAX
+dispatch stays on the consumer thread.
 """
 
 from __future__ import annotations

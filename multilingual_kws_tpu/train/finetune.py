@@ -192,7 +192,7 @@ def transfer_learn(
     )
     bank = dataset.build_resident_bank(train_files) if resident else None
 
-    def run_phase(params, lr, trainable):
+    def run_phase(params, stats, lr, trainable):
         init_state, step, evaluate, predict = make_finetune_step(
             model, lr, trainable
         )
@@ -202,7 +202,7 @@ def transfer_learn(
             epoch_scan = make_finetune_epoch_scan(
                 model, lr, trainable, dataset.frontend, dataset.aug_params
             )
-        state = init_state({"params": params, "batch_stats": batch_stats})
+        state = init_state({"params": params, "batch_stats": stats})
         # reference quirk kept: steps_per_epoch = batch_size * num_batches
         # (transfer_learning.py:86-93)
         steps_per_epoch = batch_size * num_batches
@@ -215,12 +215,10 @@ def transfer_learn(
                 # gather->augment->featurize->step chain): one dispatch and
                 # one small index upload instead of 64 round trips
                 idx_a, lbl_a, sil_a = [], [], []
-                for paths_, lbl, sil in dataset.host_train_paths(
-                    train_files, batch_size, steps_per_epoch
+                for idx, lbl, sil in dataset.host_train_indices(
+                    train_files, batch_size, steps_per_epoch, bank
                 ):
-                    idx_a.append(
-                        [0 if p is None else bank["index"][p] for p in paths_]
-                    )
+                    idx_a.append(idx)
                     lbl_a.append(lbl)
                     sil_a.append(sil)
                 keys = jnp.stack(
@@ -268,11 +266,17 @@ def transfer_learn(
                 )
         return state, history, predict, evaluate
 
-    state, history, predict, evaluate = run_phase(params, primary_lr, _head_only)
+    state, history, predict, evaluate = run_phase(
+        params, batch_stats, primary_lr, _head_only
+    )
 
     if backprop_into_embedding:
+        # phase 2 takes params AND batch_stats from phase 1's returned state:
+        # the donating step/epoch_scan invalidated the enclosing-scope buffer
+        # copies on TPU (donation is a no-op on CPU, so only real hardware
+        # would crash on reuse)
         state, history, predict, evaluate = run_phase(
-            state.params, embedding_lr, _head_and_top
+            state.params, state.batch_stats, embedding_lr, _head_and_top
         )
 
     va = history["val_accuracy"][-1]

@@ -54,7 +54,10 @@ class PretrainConfig:
     bn_calibration_batches: int = 2
     # host batches assembled ahead on a background thread (data/pipeline.py);
     # 0 = synchronous. Bit-identical either way. Only used when the
-    # device-resident bank is off (below).
+    # device-resident bank is off (below). On the remote-tunnel test rig
+    # an alternating A/B measures it neutral (sync 1578 vs prefetch 1490
+    # clips/s medians — the device upload dominates both); it pays off
+    # when host assembly/IO is the slow side, i.e. normal local hardware.
     prefetch: int = 2
     # keep the training audio HBM-resident and assemble batches by on-device
     # gather (data/dataset.py build_resident_bank) — removes the per-step
@@ -272,14 +275,10 @@ def pretrain(
         nonlocal state, key
         if use_resident:
             # one fused program per step: gather+augment+featurize+train
-            for paths, lbl, sil in dataset.host_train_paths(
-                train_files, batch_size=config.batch_size,
-                num_steps=num_steps, labels=train_labels, single_target=False,
+            for idx, lbl, sil in dataset.host_train_indices(
+                train_files, config.batch_size, num_steps, bank,
+                labels=train_labels, single_target=False,
             ):
-                idx = np.array(
-                    [0 if p is None else bank["index"][p] for p in paths],
-                    dtype=np.int32,
-                )
                 idx, lbl, sil = dataset._put_batch((idx, lbl, sil))
                 key, sub = split_fn(key)
                 state, m = fused_step(

@@ -94,11 +94,13 @@ def read_wav_int16(
         nch = w.getnchannels()
         width = w.getsampwidth()
         if width != 2:
-            # rare non-16-bit inputs: decode float then quantize to the
-            # int16 grid (same grid a wav round trip would apply)
+            # rare non-16-bit inputs: decode float then quantize with the
+            # library's trunc(x*32768) convention — the exact cast the
+            # frontend applied when this audio was fed as float, so
+            # features stay bit-identical to the read_wav path
             data, sr = read_wav(path, desired_samples=desired_samples)
             return (
-                np.clip(np.round(data * 32768.0), -32768, 32767).astype(np.int16),
+                np.clip(np.trunc(data * 32768.0), -32768, 32767).astype(np.int16),
                 sr,
             )
         raw = w.readframes(w.getnframes())
