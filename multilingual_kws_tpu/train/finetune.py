@@ -100,6 +100,7 @@ def transfer_learn(
     csvlog_dest=None,
     seed: Optional[int] = None,
     verbose: int = 1,
+    resident: Optional[bool] = None,
     base_params=None,
     base_batch_stats=None,
     model=None,
@@ -185,11 +186,13 @@ def transfer_learn(
 
     # few-shot training sets (shots + unknowns) are small: keep the clips
     # HBM-resident so each of the ~256 steps uploads only indices instead of
-    # re-shipping the audio (data/dataset.py build_resident_bank)
-    uniq = set(train_files) | set(unknown_files)
-    resident = (
-        len(uniq) * model_settings.desired_samples * 2 <= (1 << 30)
-    )
+    # re-shipping the audio (data/dataset.py build_resident_bank).
+    # resident=None (default): auto by bank size.
+    if resident is None:
+        uniq = set(train_files) | set(unknown_files)
+        resident = (
+            len(uniq) * model_settings.desired_samples * 2 <= (1 << 30)
+        )
     bank = dataset.build_resident_bank(train_files) if resident else None
 
     def run_phase(params, stats, lr, trainable):

@@ -154,3 +154,34 @@ def test_fast_frontend_mode_accuracy_impact(tmp_path):
     diff = np.abs(conf_e - conf_f)
     assert diff.max() < 0.15, diff
     assert diff.mean() < 0.04, diff
+
+
+@pytest.mark.slow
+def test_finetune_resident_matches_streaming(tmp_path):
+    """transfer_learn's resident path (scanned epochs over the HBM bank)
+    must train equivalently to the streaming per-step path: same draws and
+    key stream, so histories match to float tolerance (scan vs separate
+    programs may fuse differently)."""
+    import numpy as np
+
+    from helpers import make_corpus, tiny_transfer_model
+    from multilingual_kws_tpu.train.finetune import transfer_learn
+
+    corpus = make_corpus(tmp_path / "c", clips_per_word=8)
+
+    def run(resident):
+        res = transfer_learn(
+            target="alpha",
+            train_files=corpus["alpha"][:5],
+            val_files=corpus["alpha"][5:],
+            unknown_files=corpus["unknown_files"],
+            num_epochs=2, num_batches=1, batch_size=8, primary_lr=1e-2,
+            bg_datadir=corpus["bg_dir"], seed=0, verbose=0,
+            resident=resident,
+            model=tiny_transfer_model(),
+        )
+        return res.details["val_accuracy"]
+
+    va_res = run(True)
+    va_stream = run(False)
+    np.testing.assert_allclose(va_res, va_stream, atol=1e-5)
