@@ -15,6 +15,7 @@ import json
 import os
 import sys
 import time
+import zlib
 from pathlib import Path
 
 import numpy as np
@@ -150,7 +151,9 @@ def measure_fewshot_wallclock(tmp) -> dict:
         for i in range(12):
             p = tmp / w / f"{i}.wav"
             p.parent.mkdir(parents=True, exist_ok=True)
-            write_wav(p, _tone_clip(freq, seed=hash((w, i)) % 2**31))
+            # zlib.crc32: deterministic across processes (hash() is
+            # per-process randomized for strings -> noisy bench corpus)
+            write_wav(p, _tone_clip(freq, seed=zlib.crc32(f"{w}/{i}".encode())))
             files.append(str(p))
         paths[w] = files
     bg_dir = tmp / "_background_noise_"

@@ -313,6 +313,11 @@ class AudioDataset:
 
     # -- device-resident training data ---------------------------------------
 
+    # default HBM budget for the auto-resident decision, shared by
+    # train/pretrain.py and train/finetune.py so both paths flip to the
+    # streaming pipeline at the same dataset size (round-2 advisor finding)
+    RESIDENT_MAX_BYTES = 4 << 30
+
     def build_resident_bank(self, files: Sequence[str]):
         """Upload every unique training clip (plus unknowns) ONCE as an
         int16 (N, samples) device array, replicated over the mesh.

@@ -60,16 +60,13 @@ class Wav2Vec2Embedder:
             waveforms, sampling_rate=sample_rate,
             return_tensors="pt", padding=True,
         )
+        # Only forward a mask the extractor itself produced: group-norm base
+        # checkpoints (return_attention_mask=False, e.g. wav2vec2-base) were
+        # trained without padding masks and HF recommends not passing one —
+        # a synthesized mask would shift batched embeddings vs single-clip
+        # inference. Padded frames are still excluded from mean pooling
+        # below via the conv length arithmetic.
         mask = getattr(inputs, "attention_mask", None)
-        if mask is None and len({len(w) for w in waveforms}) > 1:
-            # base-model extractors return no mask; build one so padded
-            # samples neither attend nor get attended to in mixed-length
-            # batches
-            t = inputs.input_values.shape[1]
-            mask = (
-                torch.arange(t)[None, :]
-                < torch.tensor([len(w) for w in waveforms])[:, None]
-            ).to(torch.long)
         with torch.no_grad():
             out = self.model(
                 inputs.input_values.to(self.device),

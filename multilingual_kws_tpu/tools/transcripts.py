@@ -235,14 +235,16 @@ def assemble_multitarget_stream(
         non_targets=[asdict(nt) for nt in non_targets],
         ixs=[int(i) for i in ixs],
     )
+    if len(used_nontargets) < n:
+        # set BEFORE the dump so the on-disk artifact and the returned
+        # dict agree (round-2 advisor finding)
+        groundtruth["duplicate_nontargets"] = n - len(used_nontargets)
     (out_dir / "groundtruth.json").write_text(json.dumps(groundtruth))
     (out_dir / "full_transcript.json").write_text(json.dumps(transcript))
     with open(out_dir / "groundtruth_labels.txt", "w") as fh:
         for g in gt_times:
             fh.write(f"{g['keyword']},{g['time_ms']}\n")
     (out_dir / "keyword_list.txt").write_text("\n".join(keywords) + "\n")
-    if len(used_nontargets) < n:
-        groundtruth["duplicate_nontargets"] = n - len(used_nontargets)
     return groundtruth
 
 

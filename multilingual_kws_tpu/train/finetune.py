@@ -101,6 +101,7 @@ def transfer_learn(
     seed: Optional[int] = None,
     verbose: int = 1,
     resident: Optional[bool] = None,
+    resident_max_bytes: Optional[int] = None,
     base_params=None,
     base_batch_stats=None,
     model=None,
@@ -190,9 +191,12 @@ def transfer_learn(
     # resident=None (default): auto by bank size.
     if resident is None:
         uniq = set(train_files) | set(unknown_files)
-        resident = (
-            len(uniq) * model_settings.desired_samples * 2 <= (1 << 30)
+        cap = (
+            resident_max_bytes
+            if resident_max_bytes is not None
+            else AudioDataset.RESIDENT_MAX_BYTES
         )
+        resident = len(uniq) * model_settings.desired_samples * 2 <= cap
     bank = dataset.build_resident_bank(train_files) if resident else None
 
     def run_phase(params, stats, lr, trainable):

@@ -64,7 +64,7 @@ class PretrainConfig:
     # audio upload entirely. None = auto (on when the bank fits the cap);
     # features are bit-identical to the streaming path.
     resident_data: Optional[bool] = None
-    resident_max_bytes: int = 4 << 30
+    resident_max_bytes: int = AudioDataset.RESIDENT_MAX_BYTES
     # "bfloat16" runs conv/dense/BN compute in bf16 on the MXU (params, BN
     # running stats, the 192-d embedding, logits and the optimizer all stay
     # float32 — standard TPU mixed precision). "float32" = reference-exact.
