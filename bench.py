@@ -65,7 +65,7 @@ def measure_ours() -> float:
     return BATCH * ITERS / dt
 
 
-def measure_reference() -> float:
+def measure_reference(n: int = 64) -> float:
     """TF-CPU reference path: to_micro_spectrogram per clip (the reference's
     per-file featurization, transfer_learning.py:189-198) + batched Keras
     EfficientNetB0+head predict."""
@@ -88,7 +88,7 @@ def measure_reference() -> float:
     model = tf.keras.Model(inputs, out)
 
     rng = np.random.default_rng(0)
-    n = 64  # smaller sample, extrapolates linearly
+    # n=64 default: small sample, extrapolates linearly (n=16 for spot checks)
     audio = rng.normal(0, 0.1, (n, 16000)).astype(np.float32).clip(-1, 1)
 
     def featurize(clip):
@@ -106,25 +106,111 @@ def measure_reference() -> float:
     specs = np.stack([featurize(c).numpy() for c in audio])
     model.predict(specs[..., None], batch_size=64, verbose=0)
     dt = time.perf_counter() - t0
-    return n / dt
+    return len(audio) / dt
 
 
-def get_baseline() -> float:
+def preflight_bit_exact_on_chip(n: int = 256) -> bool:
+    """Verify the MOSAIC-COMPILED TPU frontend (the exact path the headline
+    times) is bit-identical to the golden-pinned numpy frontend
+    (ops/micro_exact.py) in THIS run — a Mosaic/lowering regression must
+    fail the benchmark loudly, not ship inside a green number (VERDICT r2
+    item 3; interpret-mode CPU coverage lives in tests/test_pallas_frontend).
+    """
+    import jax
+
+    from multilingual_kws_tpu.ops.micro_exact import (
+        FrontendConfig,
+        to_micro_spectrogram_exact,
+    )
+    from multilingual_kws_tpu.ops.micro_jax import MicroFrontendJax
+
+    frontend = MicroFrontendJax(FrontendConfig())
+    rng = np.random.default_rng(20260817)
+    # mixed content: noise, tones, near-clipping bursts — exercise the AGC /
+    # log ranges, not just small-signal behavior
+    audio = rng.normal(0, 0.1, (n, 16000)).astype(np.float32)
+    t = np.arange(16000) / 16000.0
+    audio[::4] += 0.6 * np.sin(2 * np.pi * 800 * t).astype(np.float32)
+    audio[1::7] *= 8.0
+    audio = audio.clip(-1, 1)
+    got = np.asarray(frontend.features(jax.device_put(audio)))
+    want = np.stack([to_micro_spectrogram_exact(a) for a in audio])
+    ok = got.shape == want.shape and np.array_equal(got, want)
+    if not ok:
+        bad = int((got != want).sum()) if got.shape == want.shape else -1
+        print(
+            f"# BIT-EXACTNESS PREFLIGHT FAILED: {bad} mismatched feature "
+            f"cells out of {want.size} (backend={jax.default_backend()})",
+            file=sys.stderr,
+        )
+    return ok
+
+
+def get_baseline() -> dict:
+    """Cached TF-CPU baseline with a freshness guard: when the cache is
+    older than a day, spot-check it with a small re-measurement; if the
+    spot-check disagrees by >20%, re-measure fully and rewrite the cache —
+    so the headline vs_baseline multiplier can't silently go stale
+    (VERDICT r2 item 10). Returns {clips_per_sec, age_days, provenance}.
+    """
+    stale_after_s = 24 * 3600
+    cached = None
     if BASELINE_CACHE.exists():
         with open(BASELINE_CACHE) as fh:
-            return json.load(fh)["clips_per_sec"]
+            cached = json.load(fh)
+        age_s = time.time() - BASELINE_CACHE.stat().st_mtime
+        if age_s <= stale_after_s:
+            return {
+                "clips_per_sec": cached["clips_per_sec"],
+                "age_days": round(age_s / 86400, 2),
+                "provenance": "cache (fresh)",
+            }
     try:
+        if cached is not None:
+            spot = measure_reference(n=16)
+            if abs(spot - cached["clips_per_sec"]) <= 0.2 * cached["clips_per_sec"]:
+                # cache confirmed: refresh its mtime so the next run skips
+                # the spot check, and record the confirmation
+                cached["spot_checked"] = {
+                    "clips_per_sec": round(spot, 2), "at": time.time()
+                }
+                BASELINE_CACHE.write_text(json.dumps(cached))
+                return {
+                    "clips_per_sec": cached["clips_per_sec"],
+                    "age_days": 0.0,
+                    "provenance": f"cache (spot-checked: {spot:.1f} within 20%)",
+                }
+            print(
+                f"# stale baseline: cached {cached['clips_per_sec']:.1f} vs "
+                f"spot {spot:.1f} clips/s — re-measuring",
+                file=sys.stderr,
+            )
         val = measure_reference()
         BASELINE_CACHE.parent.mkdir(parents=True, exist_ok=True)
-        with open(BASELINE_CACHE, "w") as fh:
-            json.dump(
-                {"clips_per_sec": val, "config": "TF-CPU frontend+EfficientNetB0"},
-                fh,
+        BASELINE_CACHE.write_text(
+            json.dumps(
+                {"clips_per_sec": val, "config": "TF-CPU frontend+EfficientNetB0"}
             )
-        return val
+        )
+        return {
+            "clips_per_sec": val,
+            "age_days": 0.0,
+            "provenance": "measured this run",
+        }
     except Exception as e:
         print(f"# reference baseline unavailable ({e})", file=sys.stderr)
-        return float("nan")
+        if cached is not None:
+            age_s = time.time() - BASELINE_CACHE.stat().st_mtime
+            return {
+                "clips_per_sec": cached["clips_per_sec"],
+                "age_days": round(age_s / 86400, 2),
+                "provenance": "cache (stale, spot-check unavailable)",
+            }
+        return {
+            "clips_per_sec": float("nan"),
+            "age_days": None,
+            "provenance": "unavailable",
+        }
 
 
 def _tone_clip(freq: float, seed: int, sr: int = 16000) -> np.ndarray:
@@ -458,14 +544,21 @@ def run_extra() -> None:
     import datetime
     import tempfile
 
+    print("# extra: on-chip bit-exactness preflight...", file=sys.stderr, flush=True)
+    bit_exact = preflight_bit_exact_on_chip()
+    if not bit_exact:
+        raise SystemExit("on-chip frontend is NOT bit-exact vs ops/micro_exact")
     print("# extra: measuring pipeline...", file=sys.stderr, flush=True)
     ours = measure_ours()
     base = get_baseline()
+    bval = base["clips_per_sec"]
     metrics = [
         {
             "metric": "frontend+EfficientNetB0 embed throughput, pipelined (bs 2048, bit-exact frontend)",
             "value": round(ours, 0), "unit": "clips/sec",
-            "vs_tf_cpu_baseline": round(ours / base, 0) if base == base else None,
+            "vs_tf_cpu_baseline": round(ours / bval, 0) if bval == bval else None,
+            "bit_exact_on_chip": True,
+            "baseline_provenance": base["provenance"],
         }
     ]
     print("# extra: decomposition...", file=sys.stderr, flush=True)
@@ -518,9 +611,27 @@ def main():
     if "--extra" in sys.argv:
         run_extra()
         return
+    # preflight BEFORE timing: the headline claims "bit-exact frontend" —
+    # prove it on the Mosaic-compiled path in this very run
+    bit_exact = preflight_bit_exact_on_chip()
+    if not bit_exact:
+        print(
+            json.dumps(
+                {
+                    "metric": "frontend+EfficientNetB0 embed throughput (bs 2048)",
+                    "value": 0.0,
+                    "unit": "clips/sec",
+                    "vs_baseline": 0.0,
+                    "bit_exact_on_chip": False,
+                    "error": "on-chip frontend is NOT bit-exact vs ops/micro_exact",
+                }
+            )
+        )
+        sys.exit(1)
     ours = measure_ours()
     base = get_baseline()
-    vs = ours / base if base == base else None
+    bval = base["clips_per_sec"]
+    vs = ours / bval if bval == bval else None
     print(
         json.dumps(
             {
@@ -528,6 +639,10 @@ def main():
                 "value": round(ours, 1),
                 "unit": "clips/sec",
                 "vs_baseline": round(vs, 2) if vs is not None else None,
+                "bit_exact_on_chip": True,
+                "baseline_clips_per_sec": round(bval, 2) if bval == bval else None,
+                "baseline_age_days": base["age_days"],
+                "baseline_provenance": base["provenance"],
             }
         )
     )

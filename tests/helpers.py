@@ -112,6 +112,101 @@ def make_corpus(root: Path, clips_per_word: int = 12):
     return out
 
 
+# ---------------------------------------------------------------------------
+# harder multi-word corpus (pretraining parity + off-ceiling few-shot parity)
+# ---------------------------------------------------------------------------
+
+# Shared phoneme inventory: words are built from the SAME segments in
+# different orders, so separating them requires learning temporal structure
+# (not just spectral occupancy) — this keeps fixture accuracies off the
+# 1.0 ceiling that saturated the round-2 parity experiment.
+PHONEMES = {
+    "a": (420.0, 0.16),
+    "b": (760.0, 0.14),
+    "c": (1150.0, 0.15),
+    "d": (1650.0, 0.13),
+    "e": (2300.0, 0.14),
+    "f": (3000.0, 0.12),
+}
+
+# 12 confusable words: permutations/near-anagrams over the inventory; many
+# pairs differ only in segment order or by one phoneme.
+HARD_WORDS = [
+    "abc", "acb", "bac", "bca", "cab",
+    "abd", "ade", "aed", "dea",
+    "cef", "cfe", "fec",
+]
+
+
+def hard_word_clip(word: str, seed: int, noise: float = 0.012):
+    """1 s clip of a phoneme-sequence word with strong per-"speaker"
+    variation: +-7% pitch, +-25% durations, random onset, per-segment
+    amplitude envelope, background noise."""
+    rng = np.random.default_rng(seed)
+    pieces = []
+    for ph in word:
+        freq, dur = PHONEMES[ph]
+        f = freq * (1 + rng.uniform(-0.07, 0.07))
+        d = dur * (1 + rng.uniform(-0.25, 0.25))
+        n = int(d * SR)
+        t = np.arange(n) / SR
+        env = np.sin(np.pi * np.minimum(t / max(d, 1e-3), 1.0)) ** 0.5
+        amp = 0.3 * (1 + rng.uniform(-0.3, 0.3))
+        pieces.append(
+            amp * env * np.sin(2 * np.pi * f * t + rng.uniform(0, 2 * np.pi))
+        )
+    sig = np.concatenate(pieces)
+    if sig.shape[0] > SR:
+        sig = sig[:SR]
+    onset = rng.integers(0, max(SR - sig.shape[0], 1))
+    x = np.zeros(SR, np.float32)
+    x[onset : onset + sig.shape[0]] = sig
+    x = x + rng.normal(0, noise, SR)
+    return np.clip(x, -1, 1).astype(np.float32)
+
+
+def make_multiword_corpus(
+    root: Path,
+    words=None,
+    clips_per_word: int = 40,
+    val_per_word: int = 8,
+    noise: float = 0.012,
+):
+    """root/{word}/{i}.wav corpus over the confusable HARD_WORDS, with a
+    _background_noise_ dir; labels follow parent-dir semantics
+    (init_from_parent_dir, reference input_data.py:473-508). Returns
+    dict(words, train_files, val_files, by_word, bg_dir)."""
+    import zlib
+
+    root = Path(root)
+    words = list(words or HARD_WORDS)
+    train_files, val_files, by_word = [], [], {}
+    for w in words:
+        files = []
+        for i in range(clips_per_word + val_per_word):
+            p = root / w / f"{w}_{i}.wav"
+            write_wav(
+                p, hard_word_clip(w, seed=zlib.crc32(f"{w}/{i}".encode()),
+                                  noise=noise)
+            )
+            files.append(str(p))
+        by_word[w] = files
+        train_files.extend(files[:clips_per_word])
+        val_files.extend(files[clips_per_word:])
+    bg_dir = root / "_background_noise_"
+    rng = np.random.default_rng(1234)
+    for i in range(2):
+        bg = rng.normal(0, 0.05, 3 * SR).astype(np.float32).clip(-1, 1)
+        write_wav(bg_dir / f"noise_{i}.wav", bg)
+    return dict(
+        words=words,
+        train_files=train_files,
+        val_files=val_files,
+        by_word=by_word,
+        bg_dir=str(bg_dir),
+    )
+
+
 def tiny_transfer_model():
     """A narrow EfficientNet transfer model that compiles fast on 1-core CPU."""
     from multilingual_kws_tpu.models.efficientnet import BlockArgs, EfficientNet

@@ -149,6 +149,112 @@ def pretrain_base_model(
 
 
 # ---------------------------------------------------------------------------
+# pretraining-loop parity (VERDICT r2 item 1): drive the reference's
+# pretraining pipeline as a library vs our train/pretrain.py, from scratch,
+# on the same corpus with matched augmentation settings
+# ---------------------------------------------------------------------------
+
+
+def ref_pretrain(
+    words: Sequence[str],
+    train_files: Sequence[str],
+    val_files: Sequence[str],
+    bg_dir: str,
+    num_epochs: int = 6,
+    batch_size: int = 32,
+    learning_rate: float = 1e-3,
+    silence_percentage: float = 10.0,
+    seed: int = 0,
+    bn_momentum: float = 0.8,
+) -> Dict:
+    """The reference pretraining loop driven as a library — the exact
+    pipeline of train_monolingual_embedding.py: AudioDataset with SpecAug 80
+    (:55-62), init_from_parent_dir train/val (:64-66), shuffle(4000).batch
+    (:67-69), EfficientNetB0 + GAP/1024/1024/192-selu/logits head (:81-100),
+    Adam + SparseCategoricalCrossentropy fit (:103-133). Labels come from
+    parent dirs with [_silence_]+words ordering (input_data.py:196-206).
+
+    bn_momentum: Keras B0's default BN momentum (0.99) needs ~500 steps for
+    the moving stats to converge, so fixture-scale runs would evaluate with
+    near-init running stats; 0.8 keeps inference-mode accuracy meaningful at
+    this scale (same adjustment as pretrain_base_model above; our side
+    instead re-estimates BN stats before validation, pretrain.py
+    bn_calibration_batches).
+
+    Returns the Keras history dict (loss/accuracy/val_loss/val_accuracy
+    per epoch).
+    """
+    ref = import_reference()
+    tf, input_data = ref["tf"], ref["input_data"]
+    tf.keras.utils.set_random_seed(seed)
+    settings = input_data.standard_microspeech_model_settings(
+        label_count=len(words) + 1
+    )
+    ds = input_data.AudioDataset(
+        settings,
+        list(words),
+        bg_dir,
+        [],
+        silence_percentage=silence_percentage,
+        unknown_percentage=0,
+        spec_aug_params=input_data.SpecAugParams(percentage=80),
+        seed=seed + 1,
+    )
+    AUTOTUNE = ref["tf"].data.experimental.AUTOTUNE
+    train_ds = ds.init_from_parent_dir(AUTOTUNE, list(train_files), is_training=True)
+    val_ds = ds.init_from_parent_dir(AUTOTUNE, list(val_files), is_training=False)
+    train_ds = train_ds.shuffle(buffer_size=4000).batch(batch_size)
+    val_ds = val_ds.batch(batch_size)
+
+    model = build_keras_base_model(num_labels=len(ds.commands), seed=seed)
+    for layer in model.layers:
+        if isinstance(layer, tf.keras.layers.BatchNormalization):
+            layer.momentum = bn_momentum
+    model.compile(
+        optimizer=tf.keras.optimizers.Adam(learning_rate),
+        loss=tf.keras.losses.SparseCategoricalCrossentropy(from_logits=True),
+        metrics=["accuracy"],
+    )
+    hist = model.fit(
+        train_ds, validation_data=val_ds, epochs=num_epochs, verbose=0
+    )
+    return {k: [float(v) for v in vs] for k, vs in hist.history.items()}
+
+
+def our_pretrain(
+    words: Sequence[str],
+    train_files: Sequence[str],
+    val_files: Sequence[str],
+    bg_dir: str,
+    num_epochs: int = 6,
+    batch_size: int = 32,
+    learning_rate: float = 1e-3,
+    silence_percentage: float = 10.0,
+    seed: int = 0,
+) -> Dict:
+    """Our data-parallel pretraining driver (train/pretrain.py) on the same
+    corpus/settings; runs on whatever mesh the ambient JAX platform offers
+    (the 8-virtual-device CPU mesh under tests — making this a multi-device
+    from-scratch accuracy run as well). Returns the history dict."""
+    from multilingual_kws_tpu.train.pretrain import PretrainConfig, pretrain
+
+    cfg = PretrainConfig(
+        num_labels=len(words) + 1,
+        batch_size=batch_size,
+        num_epochs=num_epochs,
+        learning_rate=learning_rate,
+        silence_percentage=silence_percentage,
+        unknown_percentage=0.0,
+        shuffle_seed=seed,
+    )
+    _state, _model, history, _ds = pretrain(
+        list(train_files), list(val_files), list(words), bg_dir,
+        config=cfg, verbose=0,
+    )
+    return history
+
+
+# ---------------------------------------------------------------------------
 # reference-side runs
 # ---------------------------------------------------------------------------
 
