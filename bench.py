@@ -25,44 +25,71 @@ sys.path.insert(0, str(REPO))
 
 BASELINE_CACHE = REPO / "benchmarks" / "ref_baseline.json"
 BATCH = 2048
-WARMUP = 2
-ITERS = 6
 
 
-def measure_ours() -> float:
+def _chained_time(step, audio, target_s: float = 2.0) -> float:
+    """Per-iteration seconds of `step(audio, eps) -> eps` via a feedback
+    chain: each dispatch's input depends on the previous output through a
+    numerically-negligible device scalar, so no layer of the remote-tunnel
+    stack can coalesce/memoize repeated identical executions, and the
+    measured wall is genuine device work (round-3 finding: pipelined
+    submission of the SAME buffer both under-amortized first-dispatch
+    latency and, at small shapes, returned sub-ms cache-hit nonsense —
+    tools_dev/bf16_probe.py, docs/PERFORMANCE.md methodology note)."""
+    import jax
+    import jax.numpy as jnp
+
+    eps = step(audio, jnp.zeros((), jnp.float32))  # compile
+    eps.block_until_ready()
+
+    def run(iters):
+        e = jnp.zeros((), jnp.float32)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            e = step(audio, e)
+        e.block_until_ready()
+        return (time.perf_counter() - t0) / iters
+
+    est = run(4)
+    iters = max(12, int(target_s / max(est, 1e-5)))
+    return run(iters)
+
+
+def measure_ours(return_detail: bool = False):
+    """Composed frontend+model clips/sec on one chip, chained (cache-proof)
+    timing; measures BOTH model compute dtypes and reports the faster
+    (frontend is integer and bit-exact either way; f32 params + bf16
+    compute is the shipped mixed-precision config, train/pretrain.py)."""
     import jax
     import jax.numpy as jnp
     from multilingual_kws_tpu.models.kws_model import make_embedding_model
     from multilingual_kws_tpu.ops.micro_exact import FrontendConfig
     from multilingual_kws_tpu.ops.micro_jax import MicroFrontendJax
 
-    model = make_embedding_model(num_labels=761)
-    rng = jax.random.PRNGKey(0)
-    variables = model.init(rng, jnp.zeros((1, 49, 40, 1), jnp.float32), train=False)
     frontend = MicroFrontendJax(FrontendConfig())
-
-    @jax.jit
-    def pipeline(params, batch_stats, audio):
-        specs = frontend._features_impl(audio)[..., None]
-        return model.apply(
-            {"params": params, "batch_stats": batch_stats}, specs, train=False
+    rng_np = np.random.default_rng(0)
+    audio = jax.device_put(
+        rng_np.normal(0, 0.1, (BATCH, 16000)).astype(np.float32).clip(-1, 1)
+    )
+    rng = jax.random.PRNGKey(0)
+    detail = {}
+    for name, dtype in (("float32", jnp.float32), ("bfloat16", jnp.bfloat16)):
+        model = make_embedding_model(num_labels=761, dtype=dtype)
+        variables = model.init(
+            rng, jnp.zeros((1, 49, 40, 1), jnp.float32), train=False
         )
 
-    rng_np = np.random.default_rng(0)
-    audio = rng_np.normal(0, 0.1, (BATCH, 16000)).astype(np.float32).clip(-1, 1)
-    audio = jax.device_put(audio)
-    params, bstats = variables["params"], variables["batch_stats"]
+        @jax.jit
+        def step(a, eps, model=model, variables=variables):
+            specs = frontend._features_impl(a + eps)[..., None]
+            out = model.apply(variables, specs, train=False)
+            return jnp.tanh(jnp.mean(out.astype(jnp.float32))) * 1e-30
 
-    for _ in range(WARMUP):
-        pipeline(params, bstats, audio).block_until_ready()
-    # steady-state throughput: pipelined submission (sync once at the end),
-    # overlapping host dispatch with device compute — how a bulk evaluation
-    # or serving loop actually runs
-    t0 = time.perf_counter()
-    outs = [pipeline(params, bstats, audio) for _ in range(ITERS)]
-    jax.block_until_ready(outs)
-    dt = time.perf_counter() - t0
-    return BATCH * ITERS / dt
+        detail[name] = BATCH / _chained_time(step, audio)
+    best = max(detail, key=detail.get)
+    if return_detail:
+        return detail[best], best, detail
+    return detail[best], best
 
 
 def measure_reference(n: int = 64) -> float:
@@ -463,7 +490,7 @@ def measure_pretrain_e2e(tmp) -> dict:
 
 
 def measure_decomposition() -> list:
-    """Frontend-vs-model cost split, bf16 model variant, and MFU."""
+    """Frontend-vs-model cost split and MFU, chained (cache-proof) timing."""
     import jax
     import jax.numpy as jnp
 
@@ -471,10 +498,6 @@ def measure_decomposition() -> list:
     from multilingual_kws_tpu.ops.micro_exact import FrontendConfig
     from multilingual_kws_tpu.ops.micro_jax import MicroFrontendJax
 
-    model = make_embedding_model(num_labels=761)
-    variables = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, 49, 40, 1), jnp.float32), train=False
-    )
     frontend = MicroFrontendJax(FrontendConfig())
     rng_np = np.random.default_rng(0)
     audio = jax.device_put(
@@ -484,56 +507,57 @@ def measure_decomposition() -> list:
         rng_np.normal(0, 2.0, (BATCH, 49, 40, 1)).astype(np.float32)
     )
 
-    def pipelined(f, *a, iters=6):
-        f(*a)
-        jax.block_until_ready(f(*a))
-        t0 = time.perf_counter()
-        outs = [f(*a) for _ in range(iters)]
-        jax.block_until_ready(outs)
-        return BATCH * iters / (time.perf_counter() - t0)
+    @jax.jit
+    def fe_step(a, eps):
+        feats = frontend._features_impl(a + eps)
+        return jnp.tanh(jnp.mean(feats)) * 1e-30
 
-    fe_j = jax.jit(frontend._features_impl)
-    fe_clips = pipelined(fe_j, audio)
+    fe_clips = BATCH / _chained_time(fe_step, audio)
 
-    bf16_vars = jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16)
-        if isinstance(x, jax.Array) and x.dtype == jnp.float32
-        else x,
-        variables,
-    )
-    f32_j = jax.jit(lambda s: model.apply(variables, s, train=False))
-    bf16_j = jax.jit(
-        lambda s: model.apply(
-            bf16_vars, s.astype(jnp.bfloat16), train=False
-        ).astype(jnp.float32)
-    )
-    m_f32 = pipelined(f32_j, specs)
-    m_bf16 = pipelined(bf16_j, specs)
+    model_times = {}
+    flops_per_clip = 0.0
+    for name, dtype in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+        model = make_embedding_model(num_labels=761, dtype=dtype)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 49, 40, 1), jnp.float32),
+            train=False,
+        )
 
-    # model FLOPs from the compiled executable, MFU vs v5e peak
-    cost = f32_j.lower(specs).compile().cost_analysis()
-    flops_per_clip = float(cost.get("flops", 0.0)) / BATCH
+        @jax.jit
+        def m_step(s, eps, model=model, variables=variables):
+            out = model.apply(variables, s + eps, train=False)
+            return jnp.tanh(jnp.mean(out.astype(jnp.float32))) * 1e-30
+
+        model_times[name] = BATCH / _chained_time(m_step, specs)
+        if name == "f32":
+            cost = (
+                jax.jit(lambda s: model.apply(variables, s, train=False))
+                .lower(specs)
+                .compile()
+                .cost_analysis()
+            )
+            flops_per_clip = float(cost.get("flops", 0.0)) / BATCH
+
     peak_f32, peak_bf16 = 4.9e13, 1.97e14  # TPU v5e
-    full_bf16 = 1.0 / (1.0 / fe_clips + 1.0 / m_bf16)
     return [
         {
-            "metric": "frontend only (bit-exact, fused Pallas), pipelined bs 2048",
+            "metric": "frontend only (bit-exact, fused Pallas), chained bs 2048",
             "value": round(fe_clips, 0), "unit": "clips/sec",
         },
         {
-            "metric": "EfficientNetB0 761-way forward only, f32, pipelined bs 2048",
-            "value": round(m_f32, 0), "unit": "clips/sec",
+            "metric": "EfficientNetB0 761-way forward only, f32, chained bs 2048",
+            "value": round(model_times["f32"], 0), "unit": "clips/sec",
             "flops_per_clip": round(flops_per_clip / 1e6, 1),
-            "mfu_vs_f32_peak": round(m_f32 * flops_per_clip / peak_f32, 4),
+            "mfu_vs_f32_peak": round(
+                model_times["f32"] * flops_per_clip / peak_f32, 4
+            ),
         },
         {
-            "metric": "EfficientNetB0 761-way forward only, bf16, pipelined bs 2048",
-            "value": round(m_bf16, 0), "unit": "clips/sec",
-            "mfu_vs_bf16_peak": round(m_bf16 * flops_per_clip / peak_bf16, 4),
-        },
-        {
-            "metric": "frontend+embed composed bound with bf16 model (1/(1/fe+1/m))",
-            "value": round(full_bf16, 0), "unit": "clips/sec",
+            "metric": "EfficientNetB0 761-way forward only, bf16, chained bs 2048",
+            "value": round(model_times["bf16"], 0), "unit": "clips/sec",
+            "mfu_vs_bf16_peak": round(
+                model_times["bf16"] * flops_per_clip / peak_bf16, 4
+            ),
         },
     ]
 
@@ -549,13 +573,16 @@ def run_extra() -> None:
     if not bit_exact:
         raise SystemExit("on-chip frontend is NOT bit-exact vs ops/micro_exact")
     print("# extra: measuring pipeline...", file=sys.stderr, flush=True)
-    ours = measure_ours()
+    ours, dtype_used, detail = measure_ours(return_detail=True)
     base = get_baseline()
     bval = base["clips_per_sec"]
     metrics = [
         {
-            "metric": "frontend+EfficientNetB0 embed throughput, pipelined (bs 2048, bit-exact frontend)",
+            "metric": "frontend+EfficientNetB0 embed throughput, chained (bs 2048, bit-exact frontend)",
             "value": round(ours, 0), "unit": "clips/sec",
+            "model_compute_dtype": dtype_used,
+            "f32_clips_per_sec": round(detail["float32"], 0),
+            "bf16_clips_per_sec": round(detail["bfloat16"], 0),
             "vs_tf_cpu_baseline": round(ours / bval, 0) if bval == bval else None,
             "bit_exact_on_chip": True,
             "baseline_provenance": base["provenance"],
@@ -584,9 +611,16 @@ def run_extra() -> None:
             "round1_float_emulation_offgrid": 68533,
             "round2_int_unfused": 53021,
             "round2_int_fused_fft_kernel": 61759,
-            "round2_single_kernel_frontend": round(ours, 0),
+            "round2_single_kernel_frontend": 81008,
+            "round3_chained_timing_fix": round(ours, 0),
             "unit": "clips/sec",
-            "note": "round-2 paths are bit-exact vs the reference op; round 1 was not",
+            "note": (
+                "round-2+ paths are bit-exact vs the reference op; round 1 "
+                "was not. Rounds 1-2 used pipelined-submission timing which "
+                "under-amortized dispatch latency; round 3 switched to "
+                "chained (cache-proof) timing and auto-picks the model "
+                "compute dtype — see docs/PERFORMANCE.md methodology note"
+            ),
         }
     )
     out = {
@@ -628,7 +662,7 @@ def main():
             )
         )
         sys.exit(1)
-    ours = measure_ours()
+    ours, dtype_used, detail = measure_ours(return_detail=True)
     base = get_baseline()
     bval = base["clips_per_sec"]
     vs = ours / bval if bval == bval else None
@@ -640,6 +674,9 @@ def main():
                 "unit": "clips/sec",
                 "vs_baseline": round(vs, 2) if vs is not None else None,
                 "bit_exact_on_chip": True,
+                "model_compute_dtype": dtype_used,
+                "f32_clips_per_sec": round(detail["float32"], 1),
+                "bf16_clips_per_sec": round(detail["bfloat16"], 1),
                 "baseline_clips_per_sec": round(bval, 2) if bval == bval else None,
                 "baseline_age_days": base["age_days"],
                 "baseline_provenance": base["provenance"],

@@ -138,20 +138,23 @@ HARD_WORDS = [
 ]
 
 
-def hard_word_clip(word: str, seed: int, noise: float = 0.012):
-    """1 s clip of a phoneme-sequence word with strong per-"speaker"
-    variation: +-7% pitch, +-25% durations, random onset, per-segment
-    amplitude envelope, background noise."""
+def hard_word_clip(word: str, seed: int, noise: float = 0.012,
+                   pitch_var: float = 0.05, dur_var: float = 0.18):
+    """1 s clip of a phoneme-sequence word with per-"speaker" variation:
+    +-pitch_var pitch, +-dur_var durations, random onset, per-segment
+    amplitude envelope, background noise. Difficulty (how far off the 1.0
+    ceiling fixture accuracies land) is tuned by the variation knobs —
+    see tools_dev/probe_hard_corpus.py runs."""
     rng = np.random.default_rng(seed)
     pieces = []
     for ph in word:
         freq, dur = PHONEMES[ph]
-        f = freq * (1 + rng.uniform(-0.07, 0.07))
-        d = dur * (1 + rng.uniform(-0.25, 0.25))
+        f = freq * (1 + rng.uniform(-pitch_var, pitch_var))
+        d = dur * (1 + rng.uniform(-dur_var, dur_var))
         n = int(d * SR)
         t = np.arange(n) / SR
         env = np.sin(np.pi * np.minimum(t / max(d, 1e-3), 1.0)) ** 0.5
-        amp = 0.3 * (1 + rng.uniform(-0.3, 0.3))
+        amp = 0.3 * (1 + rng.uniform(-0.2, 0.2))
         pieces.append(
             amp * env * np.sin(2 * np.pi * f * t + rng.uniform(0, 2 * np.pi))
         )
@@ -171,6 +174,8 @@ def make_multiword_corpus(
     clips_per_word: int = 40,
     val_per_word: int = 8,
     noise: float = 0.012,
+    pitch_var: float = 0.05,
+    dur_var: float = 0.18,
 ):
     """root/{word}/{i}.wav corpus over the confusable HARD_WORDS, with a
     _background_noise_ dir; labels follow parent-dir semantics
@@ -187,7 +192,8 @@ def make_multiword_corpus(
             p = root / w / f"{w}_{i}.wav"
             write_wav(
                 p, hard_word_clip(w, seed=zlib.crc32(f"{w}/{i}".encode()),
-                                  noise=noise)
+                                  noise=noise, pitch_var=pitch_var,
+                                  dur_var=dur_var)
             )
             files.append(str(p))
         by_word[w] = files
