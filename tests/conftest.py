@@ -17,6 +17,18 @@ from pathlib import Path
 
 import jax
 
+# 8 virtual devices share ONE physical core here: a starved worker thread
+# can miss XLA:CPU's default 40 s collective rendezvous deadline, which
+# hard-aborts the process (observed under load, round 3). Raise it well
+# past any plausible scheduling stall. Must be set before backend init.
+_flags = os.environ.get("XLA_FLAGS", "")
+if "collective_call_terminate_timeout" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags
+        + " --xla_cpu_collective_call_terminate_timeout_seconds=600"
+        + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+    ).strip()
+
 jax.config.update("jax_platforms", "cpu")
 # NOTE: deliberately no persistent compilation cache here — XLA:CPU AOT
 # artifacts are machine-feature-pinned and reloading them across differing

@@ -213,6 +213,68 @@ def make_multiword_corpus(
     )
 
 
+def make_fewshot_hard_corpus(
+    root: Path,
+    words=("abc", "acb", "abd"),
+    clips_per_word: int = 14,
+    noise: float = 0.012,
+):
+    """Confusable few-shot fixture (VERDICT r2 item 2: de-saturate the
+    parity experiment): the words share the SAME phonemes in different
+    orders, so 5-shot target-vs-unknown discrimination lands off the 1.0
+    ceiling. Same layout/contract as make_corpus (word dirs,
+    _background_noise_, unknown dir with unknown_files.txt whose entries
+    are chirps + confusable-word clips)."""
+    import zlib
+
+    root = Path(root)
+    words = list(words)
+    out = {}
+    for w in words:
+        files = []
+        for i in range(clips_per_word):
+            p = root / w / f"{w}_{i}.wav"
+            write_wav(
+                p,
+                hard_word_clip(
+                    w, seed=zlib.crc32(f"fs/{w}/{i}".encode()), noise=noise
+                ),
+            )
+            files.append(str(p))
+        out[w] = files
+
+    rng = np.random.default_rng(99)
+    bg_dir = root / "_background_noise_"
+    for i in range(2):
+        bg = rng.normal(0, 0.05, 3 * SR).astype(np.float32).clip(-1, 1)
+        write_wav(bg_dir / f"noise_{i}.wav", bg)
+    out["bg_dir"] = str(bg_dir)
+
+    unk_dir = root / "unknown"
+    unk_files = []
+    for i in range(6):
+        p = unk_dir / f"unk_chirp_{i}.wav"
+        t = np.arange(SR) / SR
+        x = 0.3 * np.sin(2 * np.pi * (500 + 300 * i + 1500 * t) * t)
+        write_wav(p, np.clip(x + rng.normal(0, 0.02, SR), -1, 1))
+        unk_files.append(f"unk_chirp_{i}.wav")
+    for w in words[1:]:
+        for i in range(5):
+            p = unk_dir / f"unk_{w}_{i}.wav"
+            write_wav(
+                p,
+                hard_word_clip(
+                    w, seed=zlib.crc32(f"unk/{w}/{i}".encode()), noise=noise
+                ),
+            )
+            unk_files.append(f"unk_{w}_{i}.wav")
+    (unk_dir / "unknown_files.txt").write_text("\n".join(unk_files) + "\n")
+    out["unknown_dir"] = str(unk_dir)
+    out["unknown_files"] = [str(unk_dir / f) for f in unk_files]
+    out["words"] = words
+    return out
+
+
 def tiny_transfer_model():
     """A narrow EfficientNet transfer model that compiles fast on 1-core CPU."""
     from multilingual_kws_tpu.models.efficientnet import BlockArgs, EfficientNet

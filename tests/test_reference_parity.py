@@ -30,7 +30,7 @@ tf = pytest.importorskip("tensorflow")
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import parity_harness as ph  # noqa: E402
-from helpers import make_corpus  # noqa: E402
+from helpers import make_corpus, make_fewshot_hard_corpus  # noqa: E402
 
 if not ph.reference_available():  # pragma: no cover
     pytest.skip("reference checkout not present", allow_module_level=True)
@@ -236,10 +236,82 @@ def test_training_distribution_parity(workspace):
     print("reference:", ref_s)
     print("ours:     ", our_s)
 
-    # both sides must actually learn the keyword...
-    assert ref_s["val_accuracy_mean"] > 0.6, ref_s
-    assert our_s["val_accuracy_mean"] > 0.6, our_s
-    # ...to comparable degrees
-    assert abs(ref_s["val_accuracy_mean"] - our_s["val_accuracy_mean"]) < 0.2
+    # bands tightened to the measured 10-seed spread (1.0 +- 0.0 both
+    # sides, benchmarks/parity_fewshot.json) — this easy-corpus variant
+    # IS at ceiling; the off-ceiling discrimination comparison is
+    # test_training_distribution_parity_hard below
+    assert ref_s["val_accuracy_mean"] > 0.9, ref_s
+    assert our_s["val_accuracy_mean"] > 0.9, our_s
+    assert abs(ref_s["val_accuracy_mean"] - our_s["val_accuracy_mean"]) <= 0.1
     # and separate target from confusable nontargets comparably
-    assert our_s["separation"] > ref_s["separation"] - 0.25
+    # (10-seed separations: ref 0.920, ours 0.937)
+    assert our_s["separation"] > ref_s["separation"] - 0.15
+
+
+@pytest.fixture(scope="module")
+def hard_workspace(tmp_path_factory):
+    """Confusable phoneme-order corpus + 300-step base: the de-saturated
+    fixture (VERDICT r2 weak-item 1). Target 'abc' vs order-swap 'acb'
+    and substitution 'abd'; 3 shots."""
+    tmp = tmp_path_factory.mktemp("refparity_hard")
+    corpus = make_fewshot_hard_corpus(tmp / "corpus", clips_per_word=21)
+    base_path = tmp / "hard_base.keras"
+    keras_base = ph.pretrain_base_model(
+        corpus, corpus["words"], base_path, steps=300, batch_size=32,
+        seed=0, min_acc=0.8,
+    )
+    imported = ph.import_base_to_flax(keras_base)
+    target = corpus["words"][0]
+    others = corpus["words"][1:]
+    return dict(
+        corpus=corpus,
+        base_path=str(base_path),
+        imported=imported,
+        target=target,
+        train_files=corpus[target][:3],
+        val_files=corpus[target][3:],
+        nontarget_files=[f for w in others for f in corpus[w]],
+    )
+
+
+def test_training_distribution_parity_hard(hard_workspace):
+    """Off-ceiling differential: both sides fine-tune 3 shots of a word
+    that differs from its distractors only by phoneme ORDER (acb) or one
+    phoneme (abd). Argmax val accuracy may saturate, so the compared
+    metric is balanced discrimination accuracy (target recall vs
+    confusable specificity at P(target)>0.5) — mid-band by construction."""
+    w = hard_workspace
+    seeds = [0, 1, 2]
+    ref_runs = [
+        ph.ref_transfer_learn(
+            w["target"], w["train_files"], w["val_files"],
+            w["nontarget_files"], w["corpus"]["unknown_files"],
+            w["corpus"]["bg_dir"], w["base_path"], seed=1000 + s,
+        )
+        for s in seeds
+    ]
+    our_runs = [
+        ph.our_transfer_learn(
+            w["imported"], w["target"], w["train_files"], w["val_files"],
+            w["nontarget_files"], w["corpus"]["unknown_files"],
+            w["corpus"]["bg_dir"], seed=s,
+        )
+        for s in seeds
+    ]
+    ref_s = ph.summarize_runs(ref_runs)
+    our_s = ph.summarize_runs(our_runs)
+    print("reference:", ref_s)
+    print("ours:     ", our_s)
+
+    # the fixture has discriminative power: balanced accuracy off both
+    # ceilings on BOTH sides...
+    assert 0.55 < ref_s["balanced_accuracy_mean"] < 0.995, ref_s
+    assert 0.55 < our_s["balanced_accuracy_mean"] < 0.995, our_s
+    # ...and the sides agree within the multi-seed spread
+    # (benchmarks/parity_fewshot_hard.json)
+    assert (
+        abs(ref_s["balanced_accuracy_mean"] - our_s["balanced_accuracy_mean"])
+        < 0.2
+    ), (ref_s, our_s)
+    # confidence separation on confusables comparable
+    assert our_s["separation"] > ref_s["separation"] - 0.2

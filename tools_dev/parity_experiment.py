@@ -26,10 +26,26 @@ sys.path.insert(0, str(REPO / "tests"))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=10)
-    ap.add_argument("--shots", type=int, default=5)
-    ap.add_argument("--out", default=str(REPO / "benchmarks" / "parity_fewshot.json"))
-    ap.add_argument("--pretrain-steps", type=int, default=150)
+    ap.add_argument("--shots", type=int, default=None,
+                    help="default: 5 (easy) / 3 (hard)")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--pretrain-steps", type=int, default=None,
+                    help="default: 150 (easy) / 300 (hard)")
+    ap.add_argument(
+        "--hard", action="store_true",
+        help="confusable phoneme-order words (de-saturated fixture, "
+        "VERDICT r2 item 2) instead of the separable tone words",
+    )
     args = ap.parse_args()
+    if args.shots is None:
+        args.shots = 3 if args.hard else 5
+    if args.pretrain_steps is None:
+        args.pretrain_steps = 300 if args.hard else 150
+    if args.out is None:
+        args.out = str(
+            REPO / "benchmarks"
+            / ("parity_fewshot_hard.json" if args.hard else "parity_fewshot.json")
+        )
 
     # CPU-only JAX without claiming the TPU tunnel (see tests/conftest.py)
     import jax
@@ -45,23 +61,30 @@ def main() -> None:
     import numpy as np
 
     import parity_harness as ph
-    from helpers import make_corpus
+    from helpers import make_corpus, make_fewshot_hard_corpus
 
     t0 = time.time()
     tmp = Path(tempfile.mkdtemp(prefix="parity_"))
-    words = ["alpha", "bravo", "charlie"]
-    target = "alpha"
-    corpus = make_corpus(tmp / "corpus", clips_per_word=14)
+    if args.hard:
+        # 21 clips/word -> 16 val clips: finer val-accuracy granularity
+        corpus = make_fewshot_hard_corpus(tmp / "corpus", clips_per_word=21)
+        words = corpus["words"]
+        target = words[0]
+    else:
+        words = ["alpha", "bravo", "charlie"]
+        target = "alpha"
+        corpus = make_corpus(tmp / "corpus", clips_per_word=14)
     base_path = tmp / "base_model.keras"
     print("pretraining shared base model...", flush=True)
     keras_base = ph.pretrain_base_model(
-        corpus, words, base_path, steps=args.pretrain_steps, seed=0
+        corpus, words, base_path, steps=args.pretrain_steps, seed=0,
+        min_acc=0.8 if args.hard else 0.9,
     )
     imported = ph.import_base_to_flax(keras_base)
 
     train_files = corpus[target][: args.shots]
     val_files = corpus[target][args.shots :]
-    nontarget_files = corpus["bravo"] + corpus["charlie"]
+    nontarget_files = [f for w in words[1:] for f in corpus[w]]
 
     ref_runs, our_runs = [], []
     for s in range(args.seeds):
@@ -99,6 +122,7 @@ def main() -> None:
     out = dict(
         config=dict(
             seeds=args.seeds, shots=args.shots, target=target,
+            words=list(words), hard=bool(args.hard),
             pretrain_steps=args.pretrain_steps,
             transfer_defaults="4 epochs x 1 batch x bs 16, LR 1e-3, unknown% 50",
         ),

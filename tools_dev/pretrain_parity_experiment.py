@@ -20,6 +20,18 @@ REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "tests"))
 
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "collective_call_terminate_timeout" not in flags:
+    # 8 virtual CPU devices on 1 core: raise XLA's 40 s collective
+    # rendezvous abort deadline (a starved thread kills the process)
+    os.environ["XLA_FLAGS"] = (
+        flags
+        + " --xla_cpu_collective_call_terminate_timeout_seconds=600"
+        + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+    ).strip()
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
