@@ -217,14 +217,20 @@ def make_fewshot_hard_corpus(
     root: Path,
     words=("abc", "acb", "abd"),
     clips_per_word: int = 14,
-    noise: float = 0.012,
+    noise: float = 0.016,
 ):
     """Confusable few-shot fixture (VERDICT r2 item 2: de-saturate the
     parity experiment): the words share the SAME phonemes in different
     orders, so 5-shot target-vs-unknown discrimination lands off the 1.0
     ceiling. Same layout/contract as make_corpus (word dirs,
     _background_noise_, unknown dir with unknown_files.txt whose entries
-    are chirps + confusable-word clips)."""
+    are chirps + confusable-word clips).
+
+    noise=0.016 measured as the sweet spot (3-seed probes, 2026-08-17):
+    at 0.012 OUR side's balanced accuracy saturates (0.992 +- 0.018 over
+    10 seeds); at 0.020 the reference occasionally collapses to chance
+    (bal acc 0.5, val 0.056); at 0.016 both sides land ~0.75-1.0 per seed
+    with no collapse — off-ceiling with discriminative power."""
     import zlib
 
     root = Path(root)

@@ -304,11 +304,14 @@ def test_training_distribution_parity_hard(hard_workspace):
     print("ours:     ", our_s)
 
     # the fixture has discriminative power: balanced accuracy off both
-    # ceilings on BOTH sides...
+    # ceilings on BOTH sides (10-seed experiment at the shipped noise
+    # 0.016: ref 0.949 +- 0.115, ours 0.938 +- 0.096, dmean 0.011; these
+    # seeds 0-2 land ref ~0.94-0.95 / ours ~0.88 on the deterministic
+    # fixture — benchmarks/parity_fewshot_hard.json)...
     assert 0.55 < ref_s["balanced_accuracy_mean"] < 0.995, ref_s
     assert 0.55 < our_s["balanced_accuracy_mean"] < 0.995, our_s
-    # ...and the sides agree within the multi-seed spread
-    # (benchmarks/parity_fewshot_hard.json)
+    # ...and the sides agree within the measured multi-seed spread
+    # (max |dmean| consistent with the 10-seed stds at n=3 is ~0.17)
     assert (
         abs(ref_s["balanced_accuracy_mean"] - our_s["balanced_accuracy_mean"])
         < 0.2

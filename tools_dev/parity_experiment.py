@@ -31,6 +31,10 @@ def main() -> None:
     ap.add_argument("--out", default=None)
     ap.add_argument("--pretrain-steps", type=int, default=None,
                     help="default: 150 (easy) / 300 (hard)")
+    ap.add_argument("--noise", type=float, default=0.016,
+                    help="hard-corpus noise level (0.016 = the measured "
+                    "off-ceiling-without-collapse sweet spot, see "
+                    "tests/helpers.make_fewshot_hard_corpus)")
     ap.add_argument(
         "--hard", action="store_true",
         help="confusable phoneme-order words (de-saturated fixture, "
@@ -67,7 +71,9 @@ def main() -> None:
     tmp = Path(tempfile.mkdtemp(prefix="parity_"))
     if args.hard:
         # 21 clips/word -> 16 val clips: finer val-accuracy granularity
-        corpus = make_fewshot_hard_corpus(tmp / "corpus", clips_per_word=21)
+        corpus = make_fewshot_hard_corpus(
+            tmp / "corpus", clips_per_word=21, noise=args.noise
+        )
         words = corpus["words"]
         target = words[0]
     else:
