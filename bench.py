@@ -486,6 +486,11 @@ def measure_pretrain_e2e(tmp) -> dict:
         "hbm_resident_fused_bf16_clips_per_sec": round(res_bf16, 0),
         "unit": "clips/sec",
         "pct_of_train_step_bound": round(100 * res_bf16 / compute_bound, 1),
+        "note": (
+            "sync/prefetch are SINGLE samples and tunnel load swings them "
+            "+-30%; the settled A/B is benchmarks/prefetch_ab.json "
+            "(5 alternating reps: medians sync 1087 vs prefetch2 1398)"
+        ),
     }
 
 

@@ -54,10 +54,13 @@ class PretrainConfig:
     bn_calibration_batches: int = 2
     # host batches assembled ahead on a background thread (data/pipeline.py);
     # 0 = synchronous. Bit-identical either way. Only used when the
-    # device-resident bank is off (below). On the remote-tunnel test rig
-    # an alternating A/B measures it neutral (sync 1578 vs prefetch 1490
-    # clips/s medians — the device upload dominates both); it pays off
-    # when host assembly/IO is the slow side, i.e. normal local hardware.
+    # device-resident bank is off (below). Default settled by a scripted
+    # 5-rep alternating A/B on the tunnel rig (tools_dev/prefetch_ab.py ->
+    # benchmarks/prefetch_ab.json): medians sync 1087 vs prefetch2 1398
+    # clips/s, prefetch ahead in 4/5 pairs; run-to-run spread is large
+    # (905-1758 sync) from tunnel load, so treat single-sample comparisons
+    # (e.g. one bench pass) as noise. It pays off most when host
+    # assembly/IO is the slow side, i.e. normal local hardware.
     prefetch: int = 2
     # keep the training audio HBM-resident and assemble batches by on-device
     # gather (data/dataset.py build_resident_bank) — removes the per-step
