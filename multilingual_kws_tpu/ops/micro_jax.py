@@ -660,14 +660,19 @@ class MicroFrontendJax:
             if samples >= t.window_size
             else 0
         )
+        # Pallas gate: the tile must fit scoped VMEM (pallas_fft.MAX_TILE_ROWS,
+        # ~2 s clips with the 8-aligned tile_clips); longer audio composes
+        # base_frames + the suffix instead (the same path streaming uses,
+        # equally bit-exact).
+        from .pallas_fft import MAX_TILE_ROWS, clip_frontend_features, tile_clips
+
         if (
             self.use_pallas
             and self.mode == "exact"
             and t.window_size <= 2 * t.window_step
-            and 0 < rows_per_clip <= 512  # VMEM bound; streaming goes below
+            and 0 < rows_per_clip
+            and rows_per_clip * tile_clips(rows_per_clip) <= MAX_TILE_ROWS
         ):
-            from .pallas_fft import clip_frontend_features
-
             lead = audio_int16.shape[:-1]
             flat = audio_int16.reshape(-1, samples).astype(jnp.int32)
             raw = clip_frontend_features(

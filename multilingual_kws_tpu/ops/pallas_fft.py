@@ -533,6 +533,24 @@ def _clip_frontend_full_kernel(
     out_ref[0] = out
 
 
+# ~17 KiB scoped VMEM per frame row (measured on v5e: 1200 rows -> 20.3 MiB,
+# over the 16 MiB scoped limit; 800 rows fits). Callers must route clips with
+# rpc*tile_clips(rpc) beyond this to the unfused XLA path (micro_jax does).
+MAX_TILE_ROWS = 800
+
+
+def tile_clips(rpc: int) -> int:
+    """Clips per kernel tile for clips of `rpc` frame rows each.
+
+    Targets ~400 frame rows per invocation, but MUST be a multiple of 8 on
+    real Mosaic: the input block is (rpc*cb, step) (sublane dim must divide
+    by 8), and the framing roll by cb*(rpc-1) must stay sublane-aligned or
+    the frames concatenate is rejected with "result/input offset mismatch
+    on non-concat dimension". Both hold for every rpc exactly when 8 | cb.
+    """
+    return max(8, (400 // rpc) // 8 * 8)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -586,10 +604,7 @@ def clip_frontend_features(
     else:
         audio_int32 = audio_int32[:, :pad_to]
 
-    # clips per tile: target ~400 frame rows per kernel invocation
-    # (clips_per_tile overrides — e.g. interpret-mode tests keep it at 1
-    # so a single clip is not padded to a full tile)
-    cb = clips_per_tile or max(1, 400 // rpc)
+    cb = clips_per_tile or tile_clips(rpc)
     pad_b = (-b) % cb
     if pad_b:
         audio_int32 = jnp.pad(audio_int32, ((0, pad_b), (0, 0)))

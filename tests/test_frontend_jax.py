@@ -112,3 +112,35 @@ def test_int16_cast_edge(frontends):
     got = np.asarray(fj.features(audio))
     want = to_micro_spectrogram_exact(np.ones(16000, dtype=np.float32))
     np.testing.assert_array_equal(got[0], want)
+
+
+def test_multisecond_clips_bit_exact(frontends):
+    """features() on non-1-second audio (verify session 2026-08-17 found a
+    3-s clip failing Mosaic compile: the tile chose cb=2, whose framing roll
+    broke sublane alignment). 2 s exercises the Pallas-eligible boundary
+    (rpc=100 -> 800 rows), 3 s the unfused fallback."""
+    fj, _ = frontends
+    rng = np.random.default_rng(20260817)
+    for secs in (2, 3):
+        n = 16000 * secs
+        batch = np.clip(rng.normal(0, 0.2, (2, n)), -1, 1).astype(np.float32)
+        got = np.asarray(fj.features(batch))
+        want = np.stack([to_micro_spectrogram_exact(w) for w in batch])
+        assert got.shape == want.shape == (2, 49 + 50 * (secs - 1), 40)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_tile_clips_mosaic_alignment():
+    """Every tile size must be a multiple of 8 (Mosaic sublane rules for the
+    (rpc*cb, step) input block AND the framing roll by cb*(rpc-1)), and the
+    micro_jax gate must never admit a tile over the scoped-VMEM row budget."""
+    from multilingual_kws_tpu.ops.pallas_fft import MAX_TILE_ROWS, tile_clips
+
+    for rpc in range(1, 600):
+        cb = tile_clips(rpc)
+        assert cb % 8 == 0, (rpc, cb)
+        assert (cb * (rpc - 1)) % 8 == 0 and (cb * rpc) % 8 == 0
+    # the flagship 1-s clip keeps its measured-optimal tile
+    assert tile_clips(50) == 8 and 50 * tile_clips(50) == 400 <= MAX_TILE_ROWS
+    # 2 s fits the budget, 3 s must not (it OOMs scoped VMEM at 20.3 MiB)
+    assert 100 * tile_clips(100) <= MAX_TILE_ROWS < 150 * tile_clips(150)
