@@ -208,15 +208,24 @@ def eval_stream_test(
     predict_fn: Optional[Callable] = None,
     frontend: Optional[MicroFrontendJax] = None,
     verbose: bool = True,
+    compute_dtype: Optional[str] = None,
 ):
     """Reference eval_stream_test (:197-241): result/inference memoization +
     streaming accuracy. predict_fn may be omitted if st.model_path points to
-    a saved transfer model (loaded here)."""
+    a saved transfer model (loaded here). compute_dtype="bfloat16" runs the
+    trunk conv/dense/BN compute in bf16 (~45% faster forward on v5e,
+    docs/PERFORMANCE.md §1); the f32 params load unchanged and the softmax
+    rows stay f32. Default f32 — the streaming-detection parity evidence
+    was replayed at f32."""
     if predict_fn is None:
         from ..train import checkpoints as ckpt
         from ..models.kws_model import make_transfer_model
         import jax
+        import jax.numpy as jnp
 
+        trunk_kw = {}
+        if compute_dtype is not None and compute_dtype != "float32":
+            trunk_kw["dtype"] = jnp.dtype(compute_dtype)
         payload, meta = ckpt.load_model(st.model_path)
         wc = float(meta.get("width_coefficient", 1.0))
         dc = float(meta.get("depth_coefficient", 1.0))
@@ -225,11 +234,13 @@ def eval_stream_test(
             from ..models.kws_model import KWSTransferModel
 
             model = KWSTransferModel(
-                trunk=EfficientNet(width_coefficient=wc, depth_coefficient=dc),
+                trunk=EfficientNet(
+                    width_coefficient=wc, depth_coefficient=dc, **trunk_kw
+                ),
                 num_categories=3,
             )
         else:
-            model = make_transfer_model(num_categories=3)
+            model = make_transfer_model(num_categories=3, **trunk_kw)
         cols = {"params": payload["params"]}
         if payload.get("batch_stats") is not None:
             cols["batch_stats"] = payload["batch_stats"]

@@ -105,14 +105,22 @@ def transfer_learn(
     base_params=None,
     base_batch_stats=None,
     model=None,
+    compute_dtype: Optional[str] = None,
 ) -> FinetuneResult:
     """Few-shot fine-tune of `target`. Returns (name, state, details) wrapper.
 
     base_model_path: checkpoint directory of a pretrained embedding model
     (orbax); alternatively pass its params directly via base_params.
     model: optional KWSTransferModel override (e.g. a narrower trunk).
+    compute_dtype: "bfloat16" switches trunk conv/dense/BN compute (params,
+    BN stats, the 192-d embedding and softmax head stay f32 — the same
+    mixed-precision contract as pretraining). Default f32: the few-shot
+    accuracy parity evidence (PARITY.md) was measured at f32.
     """
     model_settings = model_settings or standard_microspeech_model_settings(3)
+    trunk_kw = {}
+    if compute_dtype is not None and compute_dtype != "float32":
+        trunk_kw["dtype"] = jnp.dtype(compute_dtype)
     if model is None:
         # size the trunk to match the base checkpoint's (metadata carries the
         # EfficientNet coefficients; absent/1.0 = B0)
@@ -129,11 +137,13 @@ def transfer_learn(
             from ..models.kws_model import KWSTransferModel
 
             model = KWSTransferModel(
-                trunk=EfficientNet(width_coefficient=wc, depth_coefficient=dc),
+                trunk=EfficientNet(
+                    width_coefficient=wc, depth_coefficient=dc, **trunk_kw
+                ),
                 num_categories=3,
             )
         else:
-            model = make_transfer_model(num_categories=3)
+            model = make_transfer_model(num_categories=3, **trunk_kw)
 
     # init with dummy input, then overwrite trunk/embedding from base model
     rng = jax.random.PRNGKey(seed if seed is not None else 0)

@@ -281,7 +281,7 @@ def make_fewshot_hard_corpus(
     return out
 
 
-def tiny_transfer_model():
+def tiny_transfer_model(**trunk_kw):
     """A narrow EfficientNet transfer model that compiles fast on 1-core CPU."""
     from multilingual_kws_tpu.models.efficientnet import BlockArgs, EfficientNet
     from multilingual_kws_tpu.models.kws_model import KWSTransferModel
@@ -294,6 +294,7 @@ def tiny_transfer_model():
             BlockArgs(3, 1, 16, 24, 6, 2),
             BlockArgs(5, 1, 24, 40, 6, 2),
         ),
+        **trunk_kw,
     )
     return KWSTransferModel(trunk=trunk, num_categories=3)
 

@@ -227,3 +227,32 @@ def test_bf16_compute_dtype_matches_f32_closely():
     # embedding vector stays float32 too
     emb = mbf.apply(v, x, train=False, method=mbf.embed)
     assert emb.dtype == jnp.float32 and emb.shape == (2, 192)
+
+
+def test_bf16_inference_contract():
+    """compute_dtype="bfloat16" mixed precision for inference surfaces
+    (transfer_learn / eval_stream_test / CLI --compute-dtype): the SAME f32
+    params drive a bf16-compute model; softmax output stays f32 and close to
+    the f32 forward (the head runs f32 by design — kws_model.py keeps the
+    192-d embedding and both head denses in f32)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from helpers import tiny_transfer_model
+
+    m32 = tiny_transfer_model()
+    m16 = tiny_transfer_model(dtype=jnp.bfloat16)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 49, 40, 1)) * 2.0
+    variables = m32.init(jax.random.PRNGKey(1), x, train=False)
+
+    y32 = np.asarray(m32.apply(variables, x, train=False))
+    y16 = np.asarray(m16.apply(variables, x, train=False))
+    assert y16.dtype == np.float32  # softmax rows come home f32
+    np.testing.assert_allclose(y16, y32, atol=0.05)
+    np.testing.assert_allclose(y16.sum(-1), 1.0, atol=1e-3)
+
+    # params remain f32 regardless of compute dtype (checkpoint compatible)
+    v16 = m16.init(jax.random.PRNGKey(1), x, train=False)
+    leaf = jax.tree_util.tree_leaves(v16["params"])[0]
+    assert leaf.dtype == jnp.float32
