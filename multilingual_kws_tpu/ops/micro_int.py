@@ -251,11 +251,21 @@ def sqrt64_exact(hi, lo):
         h, l = u64_add(h, l, h2, l2)
         return u64_add(h, l, jnp.zeros_like(r), b * b)
 
-    best = jnp.zeros_like(r0)
-    for d in range(17):  # ascending candidates r0-8 .. r0+8
-        r = r0 + U32(d)
-        sh, sl = square64(r)
-        best = jnp.where(u64_le(sh, sl, hi, lo), r, best)
+    # Largest r in [r0, r0+16] with r^2 <= x, by bisection. The window
+    # guarantee (true floor sqrt t >= r0) gives the invariant
+    # square64(lo_b) <= x; five halvings of the 17-candidate window pin t
+    # exactly — 5 square64+compare rounds instead of the previous 17-step
+    # linear scan (this function dominates the fused frontend kernel's
+    # post-FFT cost, benchmarks/fft_cost_decomposition.json).
+    lo_b = r0
+    hi_b = r0 + U32(16)
+    for _ in range(5):
+        mid = (lo_b + hi_b + U32(1)) >> U32(1)
+        sh, sl = square64(mid)
+        le = u64_le(sh, sl, hi, lo)
+        lo_b = jnp.where(le, mid, lo_b)
+        hi_b = jnp.where(le, hi_b, mid - U32(1))
+    best = lo_b
     bh, bl = square64(best)
     _, rem = u64_sub(hi, lo, bh, bl)  # remainder <= 2r+1 fits the low word
     cap = jnp.where(hi == 0, U32(0xFFFF), U32(0xFFFFFFFF))

@@ -261,6 +261,7 @@ class MicroFrontendJax:
         dtype=jnp.float32,
         use_pallas: Optional[bool] = None,
         mode: str = "exact",
+        fft_variant: Optional[str] = None,
     ):
         """mode="exact": int32 kiss FFT path, >=99.9% of bins on the
         reference op's grid (default — required for parity with reference
@@ -280,6 +281,11 @@ class MicroFrontendJax:
         self.use_pallas = (
             jax.default_backend() == "tpu" if use_pallas is None else use_pallas
         )
+        # radix-4 stage formulation inside the Pallas kernels ("ref" |
+        # "rot" | "mxu" — all bit-identical; see pallas_fft._stage_*)
+        from .pallas_fft import DEFAULT_FFT_VARIANT
+
+        self.fft_variant = fft_variant or DEFAULT_FFT_VARIANT
         self.kiss = _KissFftrJax()
         t = _build_tables(config)
         self.t = t
@@ -393,6 +399,7 @@ class MicroFrontendJax:
                 self._fft_pr,
                 self._fft_pi,
                 window_bits=WINDOW_BITS,
+                fft_variant=self.fft_variant,
             )
             energy_u = energy_flat.reshape(*lead, nf, 257)
             shift = shift_flat.reshape(*lead, nf).astype(jnp.int32)
@@ -692,6 +699,7 @@ class MicroFrontendJax:
                 correction_bits=int(t.correction_bits),
                 scale_shift=int(t.scale_shift),
                 log_pairs=self._log_pairs_static,
+                fft_variant=self.fft_variant,
             )
             return raw.reshape(*lead, *raw.shape[1:])
         return self._suffix(self.base_frames(audio_int16))

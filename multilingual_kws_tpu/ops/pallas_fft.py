@@ -62,21 +62,80 @@ _STAGE_TW, _STW_R, _STW_I = _twiddles()
 
 
 def _pack_twiddles() -> np.ndarray:
-    """All twiddles as one (26, 256) int32 array (Pallas kernels cannot
+    """All twiddles as one (34, 256) int32 array (Pallas kernels cannot
     capture array constants). Stage s's six twiddle vectors (period m) are
     tiled across 256 lanes — any (G, m) reshape-view then reproduces the
     per-quarter pattern. Rows 24/25: the real-postprocess super-twiddles
-    laid out at lanes 1..128."""
+    laid out at lanes 1..128. Rows 26+2s/27+2s: stage s's SOURCE-LANE
+    twiddle tables — lane (g, c, k) holds tw[c*k*fstride] so the twiddle
+    product T_c can be computed at each value's own lane with ONE
+    full-width complex multiply (quarter-0 lanes are don't-care: the kiss
+    c=0 term has no twiddle/sround and is selected through directly)."""
     rows = []
     for (fstride, m), tw in zip(_STAGES, _STAGE_TW):
         for t in tw:
             rows.append(np.tile(t, 256 // m))
     rows.append(np.concatenate([[0], _STW_R, np.zeros(127, np.int32)]))
     rows.append(np.concatenate([[0], _STW_I, np.zeros(127, np.int32)]))
+    n = 256
+    idx = np.arange(n)
+    phase = -2.0 * np.pi * idx / n
+    tw_r = np.floor(0.5 + 32767 * np.cos(phase)).astype(np.int32)
+    tw_i = np.floor(0.5 + 32767 * np.sin(phase)).astype(np.int32)
+    for fstride, m in _STAGES:
+        lane = np.arange(256)
+        c = (lane % (4 * m)) // m
+        k = lane % m
+        rows.append(np.where(c == 0, 32767, tw_r[c * k * fstride]))
+        rows.append(np.where(c == 0, 0, tw_i[c * k * fstride]))
     return np.stack(rows).astype(np.int32)
 
 
 _TW_PACKED = _pack_twiddles()
+
+
+def _butterfly_matrices() -> np.ndarray:
+    """Radix-4 butterfly combinations as exact one-hot-signed matrices for
+    the "mxu" FFT variant, packed (256, 8*256) f32. For stage s, columns
+    [2s*256, (2s+1)*256) hold M_rr and [(2s+1)*256, (2s+2)*256) hold M_ir:
+
+        O_r = T_r @ M_rr + T_i @ M_ir
+        O_i = T_i @ M_rr - T_r @ M_ir
+
+    where T are the sround'd twiddle products at source lanes and
+    M_rr[src, dst] = ±1 selects Re(i^{-q·c} T_c) terms (e = q·c mod 4:
+    +1 at e=0, -1 at e=2), M_ir the Im-sourced terms (+1 at e=1, -1 at
+    e=3). Entries are ±1 with 4 nonzeros per column; |T| < 2^17 so every
+    4-term dot is < 2^19 — exact in f32 (HIGHEST precision)."""
+    blocks = []
+    for fstride, m in _STAGES:
+        m_rr = np.zeros((256, 256), np.float32)
+        m_ir = np.zeros((256, 256), np.float32)
+        for src in range(256):
+            g, rem = divmod(src, 4 * m)
+            c, k = divmod(rem, m)
+            for q in range(4):
+                dst = g * 4 * m + q * m + k
+                e = (q * c) % 4
+                if e == 0:
+                    m_rr[src, dst] = 1.0
+                elif e == 2:
+                    m_rr[src, dst] = -1.0
+                elif e == 1:
+                    m_ir[src, dst] = 1.0
+                else:
+                    m_ir[src, dst] = -1.0
+        blocks += [m_rr, m_ir]
+    return np.concatenate(blocks, axis=1)
+
+
+_BF_PACKED = _butterfly_matrices()
+
+# Which radix-4 stage formulation the public entry points use by default.
+# All three are bit-identical (tests cross-check); the default is the one
+# that measured fastest on the v5e rig (tools_dev/probe_fft_variants.py ->
+# benchmarks/fft_variants.json: rot 242k / ref 224k / mxu 157k clips/s).
+DEFAULT_FFT_VARIANT = "rot"
 
 
 def build_input_perm() -> np.ndarray:
@@ -95,71 +154,166 @@ def _sround(x):
     return (x + (1 << 14)) >> 15
 
 
-def _fft_energy_math(tw_ref, fr, fi):
+def _fixdiv4(x):
+    return _sround(x * 8191)
+
+
+def _stage_twiddle_at_source(tw_ref, s, q, fr_d, fi_d):
+    """The kiss twiddle products computed at each value's OWN lane via the
+    source-lane tables (_pack_twiddles rows 26+2s/27+2s): lane (g, c, k)
+    yields T_c[k] = sround(x ⊛ tw[c·k·fstride]) for c >= 1, and passes
+    x through untouched on quarter-0 lanes (kiss applies no twiddle/sround
+    to the c=0 term). One full-width complex multiply replaces the three
+    per-quarter ones. Bit-exact: same products, same sround."""
+    sr = _sround
+    twr = tw_ref[26 + 2 * s : 27 + 2 * s, :]
+    twi = tw_ref[27 + 2 * s : 28 + 2 * s, :]
+    p_r = sr(fr_d * twr - fi_d * twi)
+    p_i = sr(fr_d * twi + fi_d * twr)
+    q0 = q == 0
+    return jnp.where(q0, fr_d, p_r), jnp.where(q0, fi_d, p_i)
+
+
+def _stage_ref(tw_ref, s, fstride, m, q, fr, fi):
+    """Original formulation: broadcast all four quarter values to every
+    lane of the group via global lane-rolls + per-quarter masks, run the
+    butterfly full-width, select each lane's own quarter output."""
+    sr = _sround
+    fr_d = _fixdiv4(fr)
+    fi_d = _fixdiv4(fi)
+
+    def quarter_bcast(x):
+        """Xc[lane (g,q,k)] = x[g, c, k] for c = 0..3; via rolls by
+        (q-c)*m selected per lane-quarter."""
+        rolls = {d: pltpu.roll(x, (d * m) % 256, 1) for d in range(-3, 4)}
+        out = []
+        for c in range(4):
+            v = rolls[0 - c]
+            for qq in range(1, 4):
+                v = jnp.where(q == qq, rolls[qq - c], v)
+            out.append(v)
+        return out
+
+    x0r, x1r, x2r, x3r = quarter_bcast(fr_d)
+    x0i, x1i, x2i, x3i = quarter_bcast(fi_d)
+
+    def tw_row(j):
+        return tw_ref[6 * s + j : 6 * s + j + 1, :]  # (1, 256), period m
+
+    tw1r, tw1i, tw2r, tw2i, tw3r, tw3i = (tw_row(j) for j in range(6))
+
+    s0r = sr(x1r * tw1r - x1i * tw1i)
+    s0i = sr(x1r * tw1i + x1i * tw1r)
+    s1r = sr(x2r * tw2r - x2i * tw2i)
+    s1i = sr(x2r * tw2i + x2i * tw2r)
+    s2r = sr(x3r * tw3r - x3i * tw3i)
+    s2i = sr(x3r * tw3i + x3i * tw3r)
+
+    s5r = x0r - s1r
+    s5i = x0i - s1i
+    y0r = x0r + s1r
+    y0i = x0i + s1i
+    s3r = s0r + s2r
+    s3i = s0i + s2i
+    s4r = s0r - s2r
+    s4i = s0i - s2i
+
+    o0r, o1r, o2r, o3r = y0r + s3r, s5r + s4i, y0r - s3r, s5r - s4i
+    o0i, o1i, o2i, o3i = y0i + s3i, s5i - s4r, y0i - s3i, s5i + s4r
+    fr = jnp.where(q == 0, o0r, jnp.where(q == 1, o1r,
+                   jnp.where(q == 2, o2r, o3r)))
+    fi = jnp.where(q == 0, o0i, jnp.where(q == 1, o1i,
+                   jnp.where(q == 2, o2i, o3i)))
+    return fr, fi
+
+
+def _stage_rot(tw_ref, s, fstride, m, q, fr, fi):
+    """Rotate-and-combine formulation: twiddle products at source lanes
+    (one cmul), then three GROUPED rotates bring T_{(q-j) mod 4} to each
+    lane and the radix-4 output is a per-lane two-case select per term —
+    O_q = Σ_j i^{-q·((q-j) mod 4)} R_j, where the exponent
+    e(q, j) = q·(q-j) mod 4 takes only two values across q for each j.
+    Same sround'd products and integer adds as _stage_ref (bit-exact),
+    ~40% fewer VPU ops."""
+    fr_d = _fixdiv4(fr)
+    fi_d = _fixdiv4(fi)
+    tr, ti = _stage_twiddle_at_source(tw_ref, s, q, fr_d, fi_d)
+
+    def grot(x, j):
+        """x[(g, (q-j) mod 4, k)] at lane (g, q, k): a global roll by j*m
+        except the top j quarters of each group, which wrap within the
+        group (roll by (j-4)*m)."""
+        a = pltpu.roll(x, (j * m) % 256, 1)
+        b = pltpu.roll(x, (j * m - 4 * m) % 256, 1)
+        return jnp.where(q >= j, a, b) if (j * m) % 256 != (j * m - 4 * m) % 256 else a
+
+    r1r, r1i = grot(tr, 1), grot(ti, 1)
+    r2r, r2i = grot(tr, 2), grot(ti, 2)
+    r3r, r3i = grot(tr, 3), grot(ti, 3)
+
+    qodd = (q & 1) == 1  # e(q,0) = (0,1,0,1); e(q,2) = (0,3,0,3)
+    q23 = q >= 2  # e(q,1) = (0,0,2,2)
+    q12 = (q == 1) | (q == 2)  # e(q,3) = (0,2,2,0)
+    fr = (
+        jnp.where(qodd, ti, tr)
+        + jnp.where(q23, -r1r, r1r)
+        + jnp.where(qodd, -r2i, r2r)
+        + jnp.where(q12, -r3r, r3r)
+    )
+    fi = (
+        jnp.where(qodd, -tr, ti)
+        + jnp.where(q23, -r1i, r1i)
+        + jnp.where(qodd, r2r, r2i)
+        + jnp.where(q12, -r3i, r3i)
+    )
+    return fr, fi
+
+
+def _stage_mxu(tw_ref, bf_ref, s, fstride, m, q, fr, fi):
+    """MXU formulation: twiddle products at source lanes (one cmul), then
+    the entire butterfly data movement + ±1/±i combination as two exact
+    f32 matmuls against the precomputed ±1 matrices (_butterfly_matrices).
+    Zero lane-rolls; the sround'd products are identical and the matmul
+    sums 4 terms < 2^19 — exact in f32 HIGHEST (bit-exact)."""
+    fr_d = _fixdiv4(fr)
+    fi_d = _fixdiv4(fi)
+    tr, ti = _stage_twiddle_at_source(tw_ref, s, q, fr_d, fi_d)
+    m_rr = bf_ref[:, 2 * s * 256 : (2 * s + 1) * 256]
+    m_ir = bf_ref[:, (2 * s + 1) * 256 : (2 * s + 2) * 256]
+    hp = jax.lax.Precision.HIGHEST
+    tr_f = tr.astype(jnp.float32)
+    ti_f = ti.astype(jnp.float32)
+
+    def dot(a, b):
+        return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=hp)
+
+    fr = (dot(tr_f, m_rr) + dot(ti_f, m_ir)).astype(jnp.int32)
+    fi = (dot(ti_f, m_rr) - dot(tr_f, m_ir)).astype(jnp.int32)
+    return fr, fi
+
+
+def _fft_energy_math(tw_ref, fr, fi, variant="ref", bf_ref=None):
     """Shared kernel math: four radix-4 stages + real postprocess + energy.
 
     fr/fi: (TILE, 256) int32 input-permuted complex substate.
+    variant: "ref" | "rot" | "mxu" — three bit-identical stage
+    formulations (see _stage_*; tests cross-check element-for-element).
     Returns (energy256 (TILE, 256) uint32, e256 (TILE, 1) uint32)."""
     tile = fr.shape[0]
     sr = _sround
     lane = jax.lax.broadcasted_iota(jnp.int32, (tile, 256), 1)
 
     # Mosaic cannot reshape lanes into sublanes, so the radix-4 stages stay
-    # flat: per stage, the four quarter values of each butterfly group are
-    # broadcast to every lane of the group via global lane-rolls + per-
-    # quarter masks, the butterfly math runs full-width, and each lane
-    # selects its own quarter's output.
+    # flat over the 256 lanes; the three formulations differ only in how
+    # each lane obtains its group's four quarter values.
     for s, (fstride, m) in enumerate(_STAGES):
         q = (lane % (4 * m)) // m  # quarter id of each lane
-
-        def fixdiv4(x):
-            return sr(x * 8191)
-
-        fr_d = fixdiv4(fr)
-        fi_d = fixdiv4(fi)
-
-        def quarter_bcast(x):
-            """Xc[lane (g,q,k)] = x[g, c, k] for c = 0..3; via rolls by
-            (q-c)*m selected per lane-quarter."""
-            rolls = {d: pltpu.roll(x, (d * m) % 256, 1) for d in range(-3, 4)}
-            out = []
-            for c in range(4):
-                v = rolls[0 - c]
-                for qq in range(1, 4):
-                    v = jnp.where(q == qq, rolls[qq - c], v)
-                out.append(v)
-            return out
-
-        x0r, x1r, x2r, x3r = quarter_bcast(fr_d)
-        x0i, x1i, x2i, x3i = quarter_bcast(fi_d)
-
-        def tw_row(j):
-            return tw_ref[6 * s + j : 6 * s + j + 1, :]  # (1, 256), period m
-
-        tw1r, tw1i, tw2r, tw2i, tw3r, tw3i = (tw_row(j) for j in range(6))
-
-        s0r = sr(x1r * tw1r - x1i * tw1i)
-        s0i = sr(x1r * tw1i + x1i * tw1r)
-        s1r = sr(x2r * tw2r - x2i * tw2i)
-        s1i = sr(x2r * tw2i + x2i * tw2r)
-        s2r = sr(x3r * tw3r - x3i * tw3i)
-        s2i = sr(x3r * tw3i + x3i * tw3r)
-
-        s5r = x0r - s1r
-        s5i = x0i - s1i
-        y0r = x0r + s1r
-        y0i = x0i + s1i
-        s3r = s0r + s2r
-        s3i = s0i + s2i
-        s4r = s0r - s2r
-        s4i = s0i - s2i
-
-        o0r, o1r, o2r, o3r = y0r + s3r, s5r + s4i, y0r - s3r, s5r - s4i
-        o0i, o1i, o2i, o3i = y0i + s3i, s5i - s4r, y0i - s3i, s5i + s4r
-        fr = jnp.where(q == 0, o0r, jnp.where(q == 1, o1r,
-                       jnp.where(q == 2, o2r, o3r)))
-        fi = jnp.where(q == 0, o0i, jnp.where(q == 1, o1i,
-                       jnp.where(q == 2, o2i, o3i)))
+        if variant == "rot":
+            fr, fi = _stage_rot(tw_ref, s, fstride, m, q, fr, fi)
+        elif variant == "mxu":
+            fr, fi = _stage_mxu(tw_ref, bf_ref, s, fstride, m, q, fr, fi)
+        else:
+            fr, fi = _stage_ref(tw_ref, s, fstride, m, q, fr, fi)
 
     # real-FFT postprocess on the full 256 lanes at once:
     # fpk[k] = fixdiv2(f[k]); fpnk[k] = fixdiv2(conj(f[256-k])), k = 1..128.
@@ -172,14 +326,21 @@ def _fft_energy_math(tw_ref, fr, fi):
 
     row = jax.lax.broadcasted_iota(jnp.int32, (256, 256), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (256, 256), 1)
-    perm_rev = ((256 - col) % 256 == row).astype(jnp.float32)
+    perm_rev = ((256 - col) % 256 == row).astype(jnp.bfloat16)
 
     def rev_lanes(x_i32):
-        return jnp.dot(
-            x_i32.astype(jnp.float32), perm_rev,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        ).astype(jnp.int32)
+        """Exact permutation matmul in native bf16: |x| <= 2^15+16 here
+        (kiss keeps stage outputs within ~1 of the input magnitude; inputs
+        are < 2^15 windowed samples), so the two 8-bit limbs lo in [0,255]
+        and hi in [-129, 129) are bf16-exact integers, each output sums
+        exactly one term, and two single-pass bf16 matmuls replace the
+        ~6-pass f32-HIGHEST one (34% of the kernel was HIGHEST matmuls,
+        benchmarks/fft_cost_decomposition.json)."""
+        lo = (x_i32 & 255).astype(jnp.float32).astype(jnp.bfloat16)
+        hi = (x_i32 >> 8).astype(jnp.float32).astype(jnp.bfloat16)
+        lo_p = jnp.dot(lo, perm_rev, preferred_element_type=jnp.float32)
+        hi_p = jnp.dot(hi, perm_rev, preferred_element_type=jnp.float32)
+        return (hi_p.astype(jnp.int32) << 8) + lo_p.astype(jnp.int32)
 
     fr2 = fixdiv2(fr)
     fi2 = fixdiv2(fi)
@@ -228,16 +389,21 @@ def _fft_energy_math(tw_ref, fr, fi):
     return energy256, e256
 
 
-def _fft_energy_kernel(tw_ref, xr_ref, xi_ref, out_ref):
-    energy256, e256 = _fft_energy_math(tw_ref, xr_ref[:], xi_ref[:])
+def _fft_energy_kernel(tw_ref, bf_ref, xr_ref, xi_ref, out_ref, *, variant):
+    energy256, e256 = _fft_energy_math(
+        tw_ref, xr_ref[:], xi_ref[:], variant=variant, bf_ref=bf_ref
+    )
     out_ref[:, :256] = energy256
     out_ref[:, 256:257] = e256
 
 
 def _window_shift_perm(win_ref, pr_ref, pi_ref, frames, window_bits: int):
     """Quantized-Hann windowing, per-frame input_shift, and the even/odd +
-    digit-reversal input permutation (exact f32 one-hot matmuls on the MXU —
-    scaled values are int16-range). Returns (xr, xi, shift)."""
+    digit-reversal input permutation as exact bf16 one-hot matmuls on the
+    MXU: |scaled| < 2^15, so the 8-bit limbs lo in [0,255] / hi in
+    [-128,128) are bf16-exact and each output sums exactly one term — four
+    single-pass bf16 matmuls replace two ~6-pass f32-HIGHEST ones.
+    Returns (xr, xi, shift)."""
     w = (frames * win_ref[:]) >> window_bits
     max_abs = jnp.max(jnp.abs(w), axis=-1, keepdims=True).astype(jnp.uint32)
     # msb32 binary search (micro_int.msb32 inlined: tiny (TILE, 1) values)
@@ -249,35 +415,39 @@ def _window_shift_perm(win_ref, pr_ref, pi_ref, frames, window_bits: int):
         val = jnp.where(m, val >> jnp.uint32(s), val)
     bit = bit + (val != 0).astype(jnp.uint32)
     shift = jnp.clip(15 - bit.astype(jnp.int32), 0, 15)
-    scaled = (w << shift).astype(jnp.float32)
+    scaled = w << shift
+    lo = (scaled & 255).astype(jnp.float32).astype(jnp.bfloat16)
+    hi = (scaled >> 8).astype(jnp.float32).astype(jnp.bfloat16)
 
     def perm(p_ref):
-        return jnp.dot(
-            scaled, p_ref[:],
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        ).astype(jnp.int32)
+        p = p_ref[:].astype(jnp.bfloat16)
+        lo_p = jnp.dot(lo, p, preferred_element_type=jnp.float32)
+        hi_p = jnp.dot(hi, p, preferred_element_type=jnp.float32)
+        return (hi_p.astype(jnp.int32) << 8) + lo_p.astype(jnp.int32)
 
     return perm(pr_ref), perm(pi_ref), shift
 
 
 def _window_fft_energy_kernel(
-    tw_ref, win_ref, pr_ref, pi_ref, frames_ref, out_ref, *, window_bits: int
+    tw_ref, bf_ref, win_ref, pr_ref, pi_ref, frames_ref, out_ref,
+    *, window_bits: int, variant: str
 ):
     """Fused frontend prefix on pre-framed input: windowing, input_shift,
     input permutation, FFT stages + energy."""
     xr, xi, shift = _window_shift_perm(
         win_ref, pr_ref, pi_ref, frames_ref[:], window_bits
     )
-    energy256, e256 = _fft_energy_math(tw_ref, xr, xi)
+    energy256, e256 = _fft_energy_math(
+        tw_ref, xr, xi, variant=variant, bf_ref=bf_ref
+    )
     out_ref[:, :256] = energy256
     out_ref[:, 256:257] = e256
     out_ref[:, 257:258] = shift.astype(jnp.uint32)
 
 
 def _clip_frontend_kernel(
-    tw_ref, win_ref, pr_ref, pi_ref, fbh_ref, fbl_ref, rows_ref, out_ref,
-    *, window_bits: int, step: int, window_size: int
+    tw_ref, bf_ref, win_ref, pr_ref, pi_ref, fbh_ref, fbl_ref, rows_ref,
+    out_ref, *, window_bits: int, step: int, window_size: int, variant: str
 ):
     """The WHOLE stateless frontend prefix for a tile of clips, one VMEM
     pass: framing, windowing, input_shift, input permutation, all FFT
@@ -298,10 +468,25 @@ def _clip_frontend_kernel(
     xr, xi, shift = _window_shift_perm(
         win_ref, pr_ref, pi_ref, frames, window_bits
     )
-    energy256, e256 = _fft_energy_math(tw_ref, xr, xi)
+    energy256, e256 = _fft_energy_math(
+        tw_ref, xr, xi, variant=variant, bf_ref=bf_ref
+    )
     out_ref[:] = _filterbank_sqrt_in_kernel(
         fbh_ref, fbl_ref, energy256, e256, shift
     )
+
+
+def _bf_input(variant: str):
+    """The butterfly-matrix kernel input for the "mxu" FFT variant (2 MiB
+    VMEM), or a negligible placeholder block for the others (the kernels
+    take a uniform signature)."""
+    if variant == "mxu":
+        spec = pl.BlockSpec(
+            (256, 8 * 256), lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+        return jnp.asarray(_BF_PACKED), spec
+    spec = pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return jnp.zeros((8, 128), jnp.float32), spec
 
 
 def build_perm_matrices(window_size: int):
@@ -319,7 +504,7 @@ def build_perm_matrices(window_size: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("window_bits", "interpret")
+    jax.jit, static_argnames=("window_bits", "interpret", "fft_variant")
 )
 def window_fft_energy(
     frames: jnp.ndarray,  # (N, window) int32 raw framed audio
@@ -328,6 +513,7 @@ def window_fft_energy(
     pi: jnp.ndarray,  # (window, 256) f32 odd-sample permutation
     window_bits: int = 12,
     interpret: bool = False,
+    fft_variant: str = DEFAULT_FFT_VARIANT,
 ):
     """Fused window+shift+permute+FFT+energy: (N, window) int16-range frames
     -> ((N, 257) uint32 energies, (N,) uint32 per-frame input shift)."""
@@ -337,12 +523,18 @@ def window_fft_energy(
     if pad:
         frames = jnp.pad(frames, ((0, pad), (0, 0)))
     np_ = n + pad
+    bf, bf_spec = _bf_input(fft_variant)
 
     out = pl.pallas_call(
-        functools.partial(_window_fft_energy_kernel, window_bits=window_bits),
+        functools.partial(
+            _window_fft_energy_kernel,
+            window_bits=window_bits,
+            variant=fft_variant,
+        ),
         grid=(np_ // tile,),
         in_specs=[
-            pl.BlockSpec((26, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((34, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            bf_spec,
             pl.BlockSpec((1, win), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((win, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((win, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -355,6 +547,7 @@ def window_fft_energy(
         interpret=interpret,
     )(
         jnp.asarray(_TW_PACKED),
+        bf,
         jnp.asarray(window_coeffs, jnp.int32)[None, :],
         pr,
         pi,
@@ -366,31 +559,36 @@ def window_fft_energy(
 def _filterbank_sqrt_in_kernel(fbh_ref, fbl_ref, energy256, e256, shift):
     """Exact 64-bit filterbank accumulate + Sqrt64 + >>shift on the VMEM
     tile (micro_int.filterbank_accumulate_mxu semantics; fft-bin 256 as a
-    rank-1 term). Energies split into 11-bit limbs, weights into 6-bit
-    limbs: every matmul sum < 2^23, the bin-256 addend < 2^17 -> f32 exact."""
+    rank-1 term). Energies split into 8-bit limbs and weights into 6-bit
+    limbs — both bf16-exact integers — so the accumulates run as eight
+    single-pass NATIVE bf16 matmuls (f32 accumulation; every sum
+    255*63*256 < 2^23 stays exact) instead of six ~6-pass f32-HIGHEST
+    ones. The bin-256 rank-1 addend stays f32 elementwise (bf16 products
+    would round)."""
     from .micro_int import sqrt64_exact, u64_add, u64_from_shifted
 
-    hp = jax.lax.Precision.HIGHEST
     U = jnp.uint32
-    w0h, w0l = fbh_ref[0:256, :], fbl_ref[0:256, :]
+    bf = jnp.bfloat16
+    w0h = fbh_ref[0:256, :].astype(bf)
+    w0l = fbl_ref[0:256, :].astype(bf)
     w256h, w256l = fbh_ref[256:257, :], fbl_ref[256:257, :]
 
     def limb_f32(x_u32, sh):
-        # 11-bit limb (< 2^11): Mosaic-safe u32 -> f32 via int32
-        v = (x_u32 >> U(sh)) & U(0x7FF) if sh else x_u32 & U(0x7FF)
+        # 8-bit limb (< 2^8): Mosaic-safe u32 -> f32 via int32
+        v = (x_u32 >> U(sh)) & U(0xFF) if sh else x_u32 & U(0xFF)
         return v.astype(jnp.int32).astype(jnp.float32)
 
     h = l = None
-    for s in (22, 11, 0):
+    for s in (24, 16, 8, 0):
         e_f = limb_f32(energy256, s)
+        e_bf = e_f.astype(bf)
         e256_f = limb_f32(e256, s)
-        for w_f, w256_f, ws in ((w0h, w256h, 6), (w0l, w256l, 0)):
+        for w_bf, w256_f, ws in ((w0h, w256h, 6), (w0l, w256l, 0)):
             part = (
-                jnp.dot(e_f, w_f, preferred_element_type=jnp.float32,
-                        precision=hp)
+                jnp.dot(e_bf, w_bf, preferred_element_type=jnp.float32)
                 + e256_f * w256_f
             )
-            # part < 2^24 -> exact f32 -> u32 via int32 (Mosaic-safe)
+            # part < 2^23 -> exact f32 -> u32 via int32 (Mosaic-safe)
             part_u = part.astype(jnp.int32).astype(U)
             ph, pl_ = u64_from_shifted(part_u, s + ws)
             h, l = (ph, pl_) if h is None else u64_add(h, l, ph, pl_)
@@ -417,12 +615,12 @@ def _select_chain(idx_i32, table, width):
 
 
 def _clip_frontend_full_kernel(
-    tw_ref, win_ref, pr_ref, pi_ref, fbh_ref, fbl_ref, sm_ref, om_ref,
-    rows_ref, out_ref, sig_scratch, est_scratch,
+    tw_ref, bf_ref, win_ref, pr_ref, pi_ref, fbh_ref, fbl_ref, sm_ref,
+    om_ref, rows_ref, out_ref, sig_scratch, est_scratch,
     *, window_bits: int, step: int, window_size: int, cb: int, nf: int,
     smoothing_bits: int, msr: int, enable_pcan: bool, snr_shift: int,
     wdf_rows, lut012, enable_log: bool, correction_bits: int,
-    scale_shift: int, log_pairs,
+    scale_shift: int, log_pairs, variant: str,
 ):
     """THE fused frontend: framing, windowing, input_shift, FFT, energies,
     filterbank, Sqrt64, noise-reduction recurrence, PCAN and log scaling —
@@ -448,7 +646,9 @@ def _clip_frontend_full_kernel(
     xr, xi, shift = _window_shift_perm(
         win_ref, pr_ref, pi_ref, frames, window_bits
     )
-    energy256, e256 = _fft_energy_math(tw_ref, xr, xi)
+    energy256, e256 = _fft_energy_math(
+        tw_ref, xr, xi, variant=variant, bf_ref=bf_ref
+    )
     sig = _filterbank_sqrt_in_kernel(fbh_ref, fbl_ref, energy256, e256, shift)
     c = sig.shape[-1]
     sig_scratch[:] = sig.reshape(nf + 1, cb, c)
@@ -470,11 +670,24 @@ def _clip_frontend_full_kernel(
     out = nr_subtract(sig_real, est_seq, U(msr), smoothing_bits)
     if enable_pcan:
         # WideDynamicFunction (micro_int.wide_dynamic_function) with the
-        # (32, 3) LUT rows as static immediates
+        # (32, 3) LUT rows as static immediates; l1/l2 fit 16 bits signed,
+        # so they ride ONE select chain packed and unpack with two shifts
+        # (the chains run once per feature cell — the packing halves this
+        # section's select count, benchmarks/fft_cost_decomposition.json)
         x = est_seq
         interval = msb32(x)
         idx = jnp.clip(interval.astype(I) - 1, 0, 31)
-        l0, l1, l2 = _select_chain(idx, wdf_rows, 32)
+        def _as_i32(v):
+            return v - (1 << 32) if v >= (1 << 31) else v
+
+        packed12 = tuple(
+            _as_i32(((int(r[1]) & 0xFFFF) << 16) | (int(r[2]) & 0xFFFF))
+            for r in wdf_rows
+        )
+        l0 = _select_chain(idx, tuple(int(r[0]) for r in wdf_rows), 32)
+        p12 = _select_chain(idx, packed12, 32)
+        l1 = p12 >> 16  # arithmetic shift restores the sign
+        l2 = (p12 << 16) >> 16
         shl = umin(umax(U(11) - umin(interval, U(11)), U(0)), U(31))
         shr = umin(umax(interval, U(11)) - U(11), U(31))
         frac = (
@@ -513,7 +726,14 @@ def _clip_frontend_full_kernel(
         frac = jnp.where(integer < U(LOG_SCALE_LOG2), frac << shl, frac >> shr)
         seg_shift = LOG_SCALE_LOG2 - LOG_SEGMENTS_LOG2  # 9
         base_seg = (frac >> U(seg_shift)).astype(I)  # 0..128
-        c0, c1 = _select_chain(base_seg, log_pairs, 129)
+        # LUT values are < 2^14 and nonnegative: one packed select chain
+        # ((c0 << 16) | c1) replaces two 128-select chains
+        packed01 = tuple(
+            (int(c0) << 16) | int(c1) for c0, c1 in log_pairs
+        )
+        p01 = _select_chain(base_seg, packed01, 129)
+        c0 = p01 >> 16
+        c1 = p01 & 0xFFFF
         delta = frac.astype(I) - (base_seg << seg_shift)
         rel = ((c1 - c0) * delta) >> LOG_SCALE_LOG2
         fraction = frac.astype(I) + c0 + rel
@@ -557,7 +777,7 @@ def tile_clips(rpc: int) -> int:
         "window_bits", "window_size", "window_step", "smoothing_bits", "msr",
         "enable_pcan", "snr_shift", "wdf_rows", "lut012", "enable_log",
         "correction_bits", "scale_shift", "log_pairs", "clips_per_tile",
-        "interpret",
+        "interpret", "fft_variant",
     ),
 )
 def clip_frontend_features(
@@ -585,6 +805,7 @@ def clip_frontend_features(
     log_pairs=(),
     clips_per_tile=None,
     interpret: bool = False,
+    fft_variant: str = DEFAULT_FFT_VARIANT,
 ):
     """The ENTIRE micro frontend as one Pallas kernel per clip tile:
     (B, T) int16-range audio -> (B, nf, C) uint32 features (pre-10/256
@@ -617,6 +838,7 @@ def clip_frontend_features(
         .reshape(ntiles * rpc * cb, step)
     )
 
+    bf, bf_spec = _bf_input(fft_variant)
     out = pl.pallas_call(
         functools.partial(
             _clip_frontend_full_kernel,
@@ -625,11 +847,12 @@ def clip_frontend_features(
             enable_pcan=enable_pcan, snr_shift=snr_shift, wdf_rows=wdf_rows,
             lut012=lut012, enable_log=enable_log,
             correction_bits=correction_bits, scale_shift=scale_shift,
-            log_pairs=log_pairs,
+            log_pairs=log_pairs, variant=fft_variant,
         ),
         grid=(ntiles,),
         in_specs=[
-            pl.BlockSpec((26, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((34, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            bf_spec,
             pl.BlockSpec((1, win), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((win, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((win, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -663,6 +886,7 @@ def clip_frontend_features(
         interpret=interpret,
     )(
         jnp.asarray(_TW_PACKED),
+        bf,
         jnp.asarray(window_coeffs, jnp.int32)[None, :],
         pr,
         pi,
@@ -677,7 +901,10 @@ def clip_frontend_features(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("window_bits", "window_size", "window_step", "interpret"),
+    static_argnames=(
+        "window_bits", "window_size", "window_step", "interpret",
+        "fft_variant",
+    ),
 )
 def clip_frontend(
     audio_int32: jnp.ndarray,  # (B, T) int32 int16-range audio
@@ -690,6 +917,7 @@ def clip_frontend(
     window_size: int = 480,
     window_step: int = 320,
     interpret: bool = False,
+    fft_variant: str = DEFAULT_FFT_VARIANT,
 ):
     """Whole stateless frontend prefix as ONE Pallas kernel per clip tile:
     (B, T) audio -> (B, nf, C) uint32 sqrt-filterbank signal (input_shift
@@ -723,14 +951,17 @@ def clip_frontend(
     rows = audio_int32.reshape(bp * rpc, step)
     tile_rows = cb * rpc
 
+    bf, bf_spec = _bf_input(fft_variant)
     out = pl.pallas_call(
         functools.partial(
             _clip_frontend_kernel,
             window_bits=window_bits, step=step, window_size=win,
+            variant=fft_variant,
         ),
         grid=(bp // cb,),
         in_specs=[
-            pl.BlockSpec((26, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((34, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            bf_spec,
             pl.BlockSpec((1, win), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((win, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((win, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -752,6 +983,7 @@ def clip_frontend(
         interpret=interpret,
     )(
         jnp.asarray(_TW_PACKED),
+        bf,
         jnp.asarray(window_coeffs, jnp.int32)[None, :],
         pr,
         pi,
@@ -763,11 +995,12 @@ def clip_frontend(
     return out.reshape(bp, rpc, num_channels)[:b, :nf, :]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "fft_variant"))
 def kiss_fft_energy(
     xr: jnp.ndarray,  # (N, 256) int32, input-permuted real part
     xi: jnp.ndarray,  # (N, 256) int32, input-permuted imag part
     interpret: bool = False,
+    fft_variant: str = DEFAULT_FFT_VARIANT,
 ) -> jnp.ndarray:
     """(N, 256) x2 permuted complex substate -> (N, 257) uint32 energies."""
     n = xr.shape[0]
@@ -777,12 +1010,14 @@ def kiss_fft_energy(
         xr = jnp.pad(xr, ((0, pad), (0, 0)))
         xi = jnp.pad(xi, ((0, pad), (0, 0)))
     np_ = n + pad
+    bf, bf_spec = _bf_input(fft_variant)
 
     out = pl.pallas_call(
-        _fft_energy_kernel,
+        functools.partial(_fft_energy_kernel, variant=fft_variant),
         grid=(np_ // tile,),
         in_specs=[
-            pl.BlockSpec((26, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((34, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            bf_spec,
             pl.BlockSpec((tile, 256), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, 256), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
@@ -791,5 +1026,5 @@ def kiss_fft_energy(
         ),
         out_shape=jax.ShapeDtypeStruct((np_, 257), jnp.uint32),
         interpret=interpret,
-    )(jnp.asarray(_TW_PACKED), xr, xi)
+    )(jnp.asarray(_TW_PACKED), bf, xr, xi)
     return out[:n]

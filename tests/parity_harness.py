@@ -233,11 +233,16 @@ def our_pretrain(
     learning_rate: float = 1e-3,
     silence_percentage: float = 10.0,
     seed: int = 0,
+    bn_calibration_batches: int = 2,
 ) -> Dict:
     """Our data-parallel pretraining driver (train/pretrain.py) on the same
     corpus/settings; runs on whatever mesh the ambient JAX platform offers
     (the 8-virtual-device CPU mesh under tests — making this a multi-device
-    from-scratch accuracy run as well). Returns the history dict."""
+    from-scratch accuracy run as well). Returns the history dict.
+
+    bn_calibration_batches=0 disables the pre-validation BN re-estimation
+    (the ablation arm of the parity experiment: with it off, our side
+    evaluates on EMA running stats like the Keras side does)."""
     from multilingual_kws_tpu.train.pretrain import PretrainConfig, pretrain
 
     cfg = PretrainConfig(
@@ -248,6 +253,7 @@ def our_pretrain(
         silence_percentage=silence_percentage,
         unknown_percentage=0.0,
         shuffle_seed=seed,
+        bn_calibration_batches=bn_calibration_batches,
     )
     _state, _model, history, _ds = pretrain(
         list(train_files), list(val_files), list(words), bg_dir,
