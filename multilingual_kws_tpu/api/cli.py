@@ -289,6 +289,15 @@ def cmd_import_tf(args) -> None:
     print(f"converted {args.tf_model} -> {args.output}")
 
 
+def cmd_export_tf(args) -> None:
+    """Convert an orbax checkpoint to a Keras artifact (reference layout,
+    drop-in for transfer_learning.py's base_model_path truncation flow)."""
+    from ..models.export_tf import convert_checkpoint_and_save
+
+    convert_checkpoint_and_save(args.checkpoint, args.output)
+    print(f"exported {args.checkpoint} -> {args.output}")
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="multilingual_kws_tpu")
     sub = p.add_subparsers(dest="command", required=True)
@@ -370,6 +379,15 @@ def build_parser() -> argparse.ArgumentParser:
     it.add_argument("tf_model")
     it.add_argument("output")
     it.set_defaults(fn=cmd_import_tf)
+
+    et = sub.add_parser(
+        "export-tf",
+        help="convert an orbax checkpoint to a Keras artifact "
+        "(.keras/.h5 via model.save, else a SavedModel dir)",
+    )
+    et.add_argument("checkpoint")
+    et.add_argument("output")
+    et.set_defaults(fn=cmd_export_tf)
     return p
 
 
