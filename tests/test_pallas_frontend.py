@@ -180,3 +180,50 @@ def test_clip_frontend_full_kernel_odd_length_interpret():
         )
     )
     np.testing.assert_array_equal(got, want)
+
+
+def test_fft_stage_variants_bit_identical_interpret():
+    """The three radix-4 stage formulations (ref / rot / mxu,
+    pallas_fft._stage_*) must agree element-for-element — the default is
+    chosen by measured speed (benchmarks/fft_variants.json), so all three
+    must stay correct."""
+    from multilingual_kws_tpu.ops.pallas_fft import kiss_fft_energy
+
+    rng = np.random.default_rng(7)
+    xr = jnp.asarray(rng.integers(-32768, 32768, (16, 256)), jnp.int32)
+    xi = jnp.asarray(rng.integers(-32768, 32768, (16, 256)), jnp.int32)
+    outs = {
+        v: np.asarray(
+            kiss_fft_energy(xr, xi, interpret=True, fft_variant=v)
+        )
+        for v in ("ref", "rot", "mxu")
+    }
+    np.testing.assert_array_equal(outs["ref"], outs["rot"])
+    np.testing.assert_array_equal(outs["ref"], outs["mxu"])
+
+
+def test_sqrt64_bisection_exact_stress():
+    """sqrt64_exact's bisection against a float64 oracle over the full
+    operating range, incl. exact squares and off-by-one neighbours (the
+    adversarial cases for a floor sqrt with round-up bump)."""
+    from multilingual_kws_tpu.ops.micro_int import sqrt64_exact
+
+    rng = np.random.default_rng(3)
+    xs = np.floor(2.0 ** rng.uniform(0, 50, 20000)).astype(np.uint64)
+    roots = rng.integers(0, 1 << 25, 10000).astype(np.uint64)
+    sq = roots * roots
+    xs = np.concatenate(
+        [xs, sq, sq + 1, np.maximum(sq, 1) - 1,
+         np.array([0, 1, 2, 3, (1 << 50) - 1], np.uint64)]
+    )
+    hi = jnp.asarray((xs >> 32).astype(np.uint32))
+    lo = jnp.asarray((xs & 0xFFFFFFFF).astype(np.uint32))
+    got = np.asarray(jax.jit(sqrt64_exact)(hi, lo))
+
+    t = np.floor(np.sqrt(xs.astype(np.float64))).astype(np.uint64)
+    t = np.where(t * t > xs, t - 1, t)
+    t = np.where((t + 1) ** 2 <= xs, t + 1, t)
+    rem = xs - t * t
+    cap = np.where(xs >> 32 == 0, 0xFFFF, 0xFFFFFFFF).astype(np.uint64)
+    want = (t + ((rem > t) & (t != cap))).astype(np.uint32)
+    np.testing.assert_array_equal(got, want)
