@@ -205,9 +205,15 @@ def convert_checkpoint_and_save(ckpt_path, dest) -> None:
     from ..train.checkpoints import load_model
 
     payload, meta = load_model(ckpt_path)
+    if not payload.get("batch_stats"):
+        raise ValueError(
+            f"checkpoint {ckpt_path} has no batch_stats — the EfficientNet "
+            "trunk's BN running statistics are required to build a working "
+            "Keras model (save with save_model(..., batch_stats=...))"
+        )
     export_and_save(
         payload["params"],
-        payload.get("batch_stats") or {"trunk": {}},
+        payload["batch_stats"],
         dest,
         input_scale=float(meta.get("input_scale", 1.0 / 255.0)),
         input_bias=float(meta.get("input_bias", 0.0)),

@@ -32,12 +32,19 @@ from jax.experimental.pallas import tpu as pltpu
 _STAGES = ((64, 1), (16, 4), (4, 16), (1, 64))
 
 
-def _twiddles():
+def _base_twiddle_table():
+    """The 256-entry Q15 twiddle table (kiss convention, round-half-up)."""
     n = 256
     idx = np.arange(n)
     phase = -2.0 * np.pi * idx / n
     tw_r = np.floor(0.5 + 32767 * np.cos(phase)).astype(np.int32)
     tw_i = np.floor(0.5 + 32767 * np.sin(phase)).astype(np.int32)
+    return tw_r, tw_i
+
+
+def _twiddles():
+    n = 256
+    tw_r, tw_i = _base_twiddle_table()
     k = np.arange(n // 2)
     sphase = -np.pi * ((k + 1.0) / n + 0.5)
     stw_r = np.floor(0.5 + 32767 * np.cos(sphase)).astype(np.int32)
@@ -77,11 +84,7 @@ def _pack_twiddles() -> np.ndarray:
             rows.append(np.tile(t, 256 // m))
     rows.append(np.concatenate([[0], _STW_R, np.zeros(127, np.int32)]))
     rows.append(np.concatenate([[0], _STW_I, np.zeros(127, np.int32)]))
-    n = 256
-    idx = np.arange(n)
-    phase = -2.0 * np.pi * idx / n
-    tw_r = np.floor(0.5 + 32767 * np.cos(phase)).astype(np.int32)
-    tw_i = np.floor(0.5 + 32767 * np.sin(phase)).astype(np.int32)
+    tw_r, tw_i = _base_twiddle_table()
     for fstride, m in _STAGES:
         lane = np.arange(256)
         c = (lane % (4 * m)) // m
@@ -318,9 +321,10 @@ def _fft_energy_math(tw_ref, fr, fi, variant="ref", bf_ref=None):
     # real-FFT postprocess on the full 256 lanes at once:
     # fpk[k] = fixdiv2(f[k]); fpnk[k] = fixdiv2(conj(f[256-k])), k = 1..128.
     # Mosaic has no lane-reversal primitive, so rev[j] = x[(256-j) mod 256]
-    # runs as an exact one-hot permutation matmul on the MXU (|x| <= ~2^17,
-    # well inside f32-exact range). NOTE the conjugation happens BEFORE
-    # fixdiv2 (sround is not odd-symmetric): rev_i uses fixdiv2(-fi).
+    # runs as an exact bf16-limb permutation matmul on the MXU — see
+    # rev_lanes' docstring for the |x| <= ~2^15 bound its exactness needs.
+    # NOTE the conjugation happens BEFORE fixdiv2 (sround is not
+    # odd-symmetric): rev_i uses fixdiv2(-fi).
     def fixdiv2(x):
         return sr(x * 16383)
 

@@ -119,9 +119,10 @@ def main():
             flush=True,
         )
 
-    # ---- merge: prev holds seeds 0..3 per side; state holds 4..7 + ablation
+    # ---- merge: prev's seeds 0..3 per side (slice defensively: re-running
+    # after completion must not double-append 4..7) + state's 4..7 + ablation
     def curves_of(side):
-        base = list(prev[side]["curves"])
+        base = list(prev[side]["curves"])[:4]
         for s in NEW_SEEDS:
             base.append(state[side][str(s)]["val_accuracy"])
         return base

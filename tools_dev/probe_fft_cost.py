@@ -4,18 +4,17 @@ Times (chained, bs 2048 = 100352 frame rows):
   A. window_fft_energy  — window + input_shift + perm + FFT + energies
   B. kiss_fft_energy    — FFT + energies only (pre-permuted inputs)
   C. full kernel        — everything (the shipped path)
-  D. full kernel, PCAN+log disabled (diagnostic, not bit-exact)
-  E. full kernel, msr=1:   NR subtract without PCAN (diagnostic)
+  D. full kernel, PCAN and log both disabled (diagnostic, not bit-exact)
+  E. full kernel, log disabled, PCAN enabled (diagnostic)
 
-Derived: window+perm = A-B; filterbank+sqrt+NR+PCAN+log+framing = C-A;
-PCAN+log chains = C-D.
+Derived: window+perm = A-B; filterbank+sqrt+NR+framing = D-A;
+PCAN chain = E-D; log chain = C-E.
 
 Run on the real TPU: python tools_dev/probe_fft_cost.py
 """
 
 import json
 import sys
-import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
@@ -25,27 +24,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from bench import _chained_time as chained_time  # the ONE timing helper
 from multilingual_kws_tpu.ops.micro_exact import FrontendConfig
 from multilingual_kws_tpu.ops.micro_jax import WINDOW_BITS, MicroFrontendJax
 
 BATCH = 2048
-
-
-def chained_time(step, x, target_s: float = 2.0) -> float:
-    eps = step(x, jnp.zeros((), jnp.float32))
-    eps.block_until_ready()
-
-    def run(iters):
-        e = jnp.zeros((), jnp.float32)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            e = step(x, e)
-        e.block_until_ready()
-        return (time.perf_counter() - t0) / iters
-
-    est = run(4)
-    iters = max(12, int(target_s / max(est, 1e-5)))
-    return run(iters)
 
 
 def main():

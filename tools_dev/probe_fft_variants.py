@@ -14,7 +14,6 @@ Run on the real TPU: python tools_dev/probe_fft_variants.py
 
 import json
 import sys
-import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
@@ -24,6 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from bench import _chained_time as chained_time  # the ONE timing helper
 from multilingual_kws_tpu.ops.micro_exact import (
     FrontendConfig,
     to_micro_spectrogram_exact,
@@ -31,23 +31,6 @@ from multilingual_kws_tpu.ops.micro_exact import (
 from multilingual_kws_tpu.ops.micro_jax import MicroFrontendJax
 
 BATCH = 2048
-
-
-def chained_time(step, audio, target_s: float = 2.0) -> float:
-    eps = step(audio, jnp.zeros((), jnp.float32))
-    eps.block_until_ready()
-
-    def run(iters):
-        e = jnp.zeros((), jnp.float32)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            e = step(audio, e)
-        e.block_until_ready()
-        return (time.perf_counter() - t0) / iters
-
-    est = run(4)
-    iters = max(12, int(target_s / max(est, 1e-5)))
-    return run(iters)
 
 
 def main():
