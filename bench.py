@@ -306,6 +306,57 @@ def measure_fewshot_wallclock(tmp) -> dict:
     }
 
 
+def measure_realtime_latency() -> dict:
+    """Online serving: per-feed() latency of stream/realtime.RealtimeDetector
+    (ring buffer -> featurize -> transfer-model softmax -> detector) at
+    several chunk sizes — the latency/throughput tradeoff a live caller
+    sees. On THIS rig every feed pays the remote-tunnel round trip
+    (~tens of ms); a locally-attached chip replaces that with ~0.1 ms PCIe
+    RTT, so the chunked rows are the rig-portable signal."""
+    import jax
+    import jax.numpy as jnp
+
+    from multilingual_kws_tpu.models.kws_model import make_transfer_model
+    from multilingual_kws_tpu.ops.micro_exact import FrontendConfig
+    from multilingual_kws_tpu.ops.micro_jax import MicroFrontendJax
+    from multilingual_kws_tpu.stream.realtime import RealtimeDetector
+
+    model = make_transfer_model(num_categories=3)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 49, 40, 1), jnp.float32),
+        train=False,
+    )
+    predict = jax.jit(
+        lambda s: jax.nn.softmax(model.apply(variables, s, train=False), -1)
+    )
+    frontend = MicroFrontendJax(FrontendConfig())
+    rng = np.random.default_rng(0)
+    out = {
+        "metric": "online RealtimeDetector feed() latency (featurize + "
+        "transfer model + detector, one v5e via tunnel)",
+        "unit": "ms per feed (median / p90)",
+    }
+    for chunk_ms in (20, 100, 500):
+        det = RealtimeDetector(
+            "kw", lambda s: np.asarray(predict(s)), frontend=frontend
+        )
+        chunk = rng.normal(0, 0.1, 16 * chunk_ms).astype(np.float32)
+        det.feed(rng.normal(0, 0.1, 16000).astype(np.float32))  # fill+compile
+        det.feed(chunk)
+        times = []
+        for _ in range(max(10, 2000 // chunk_ms)):
+            t0 = time.perf_counter()
+            det.feed(chunk)
+            times.append((time.perf_counter() - t0) * 1e3)
+        times = np.sort(np.asarray(times))
+        out[f"chunk_{chunk_ms}ms"] = [
+            round(float(np.median(times)), 2),
+            round(float(times[int(0.9 * (len(times) - 1))]), 2),
+            f"{chunk_ms / np.median(times):.1f}x real-time",
+        ]
+    return out
+
+
 def measure_streaming_rtf(tmp) -> dict:
     """BASELINE config #5: streaming detection over ~10 min of audio with a
     19-point threshold sweep; reports the real-time factor."""
@@ -600,6 +651,8 @@ def run_extra() -> None:
         metrics.append(measure_fewshot_wallclock(tmp))
         print("# extra: streaming RTF...", file=sys.stderr, flush=True)
         metrics.append(measure_streaming_rtf(tmp))
+    print("# extra: realtime feed latency...", file=sys.stderr, flush=True)
+    metrics.append(measure_realtime_latency())
     with tempfile.TemporaryDirectory(prefix="bench_pretrain_") as tmp:
         print("# extra: pretrain e2e...", file=sys.stderr, flush=True)
         metrics.append(measure_pretrain_e2e(tmp))
