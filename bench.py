@@ -163,6 +163,13 @@ def preflight_bit_exact_on_chip(n: int = 256) -> bool:
     got = np.asarray(frontend.features(jax.device_put(audio)))
     want = np.stack([to_micro_spectrogram_exact(a) for a in audio])
     ok = got.shape == want.shape and np.array_equal(got, want)
+    # the OTHER Mosaic route too: long clips take window_fft_energy + the
+    # device suffix (the streaming engine's featurization), not the single
+    # fused kernel — a regression there must also fail the benchmark
+    audio_long = audio[:4, :8000].repeat(5, axis=1)  # 2.5 s, mixed content
+    got_l = np.asarray(frontend.features(jax.device_put(audio_long)))
+    want_l = np.stack([to_micro_spectrogram_exact(a) for a in audio_long])
+    ok = ok and got_l.shape == want_l.shape and np.array_equal(got_l, want_l)
     if not ok:
         bad = int((got != want).sum()) if got.shape == want.shape else -1
         print(
