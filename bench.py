@@ -421,7 +421,63 @@ def measure_streaming_rtf(tmp) -> dict:
     }
 
 
-def measure_pretrain_e2e(tmp) -> dict:
+def measure_pretrain_step() -> dict:
+    """The pure train-step compute bound: fwd+bwd+adam+BN at bs 512 on
+    pre-featurized specs, no input pipeline. Timing is inherently chained
+    (each step consumes the previous step's state, so executions genuinely
+    serialize — the same property bench._chained_time enforces for
+    stateless graphs); iteration count scaled to >= 2 s of wall."""
+    import jax
+    import jax.numpy as jnp
+
+    from multilingual_kws_tpu.models.kws_model import make_embedding_model
+    from multilingual_kws_tpu.parallel import mesh as meshlib
+    from multilingual_kws_tpu.train.pretrain import build_pretrain_step
+    from multilingual_kws_tpu.train.steps import adam
+
+    mesh = meshlib.make_mesh()
+    BS = 512
+    rng = np.random.default_rng(0)
+    specs = rng.normal(0, 2, (BS, 49, 40, 1)).astype(np.float32)
+    labels = rng.integers(0, 761, (BS,)).astype(np.int32)
+    out = {
+        "metric": "761-way EfficientNetB0 pretrain step "
+        "(bs 512, fwd+bwd+adam+BN, state-chained)",
+        "unit": "ms/step",
+    }
+    for name, dtype in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+        model = make_embedding_model(num_labels=761, dtype=dtype)
+        tx = adam(1e-3)
+        init_fn, step_fn, _ = build_pretrain_step(model, tx, mesh)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 49, 40, 1), jnp.float32),
+            train=False,
+        )
+        with mesh:
+            state = init_fn(meshlib.replicate(mesh, variables))
+            sp = meshlib.shard_batch(mesh, specs)
+            lb = meshlib.shard_batch(mesh, labels)
+            key = jax.device_put(jax.random.PRNGKey(1))
+            split_fn = jax.jit(lambda k: tuple(jax.random.split(k)))
+
+            def run(steps):
+                nonlocal state, key
+                t0 = time.perf_counter()
+                for _ in range(steps):
+                    key, sub = split_fn(key)
+                    state, _ = step_fn(state, sp, lb, sub)
+                jax.block_until_ready(state.params)
+                return (time.perf_counter() - t0) / steps
+
+            run(3)  # compile + warm
+            est = run(4)
+            sec = run(max(12, int(2.0 / max(est, 1e-4))))
+        out[f"{name}_ms_per_step"] = round(sec * 1e3, 2)
+        out[f"{name}_clips_per_sec"] = round(BS / sec, 0)
+    return out
+
+
+def measure_pretrain_e2e(tmp, compute_bound: float = 30935) -> dict:
     """End-to-end 761-way pretraining throughput at bs 512 INCLUDING the
     host input pipeline (wav loads + batch assembly + augment dispatch),
     sync vs prefetch (data/pipeline.py) — vs the 16.6 ms/step pure-compute
@@ -534,7 +590,8 @@ def measure_pretrain_e2e(tmp) -> dict:
     res = run_epoch("resident")
     res_fused = run_epoch("resident_fused")
     res_bf16 = run_epoch("resident_fused_bf16")
-    compute_bound = 30935  # 16.6 ms/step at bs 512, round 1 (train step only)
+    # compute_bound: bf16 clips/s of the pure train step (caller passes the
+    # live measurement from measure_pretrain_step; default = round-1 value)
     return {
         "metric": "761-way pretrain END-TO-END incl. input pipeline (bs 512)",
         "stream_sync_clips_per_sec": round(sync, 0),
@@ -660,16 +717,16 @@ def run_extra() -> None:
         metrics.append(measure_streaming_rtf(tmp))
     print("# extra: realtime feed latency...", file=sys.stderr, flush=True)
     metrics.append(measure_realtime_latency())
+    print("# extra: pretrain step bound...", file=sys.stderr, flush=True)
+    step_metric = measure_pretrain_step()
+    metrics.append(step_metric)
     with tempfile.TemporaryDirectory(prefix="bench_pretrain_") as tmp:
         print("# extra: pretrain e2e...", file=sys.stderr, flush=True)
-        metrics.append(measure_pretrain_e2e(tmp))
-    metrics.append(
-        {
-            "metric": "761-way EfficientNetB0 pretrain step (bs 512, fwd+bwd+adam+BN)",
-            "value": 16.6, "unit": "ms/step", "clips_per_sec": 30935,
-            "measured": "round 1",
-        }
-    )
+        metrics.append(
+            measure_pretrain_e2e(
+                tmp, compute_bound=step_metric["bf16_clips_per_sec"]
+            )
+        )
     metrics.append(
         {
             "metric": "exact-frontend history (bs 2048 full pipeline)",
