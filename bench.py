@@ -536,11 +536,18 @@ def measure_pretrain_e2e(tmp, compute_bound: float = 30935) -> dict:
     key = jax.device_put(jax.random.PRNGKey(1))
     split_fn = jax.jit(lambda k: tuple(jax.random.split(k)))
 
-    from multilingual_kws_tpu.train.pretrain import build_fused_resident_step
+    from multilingual_kws_tpu.train.pretrain import (
+        build_fused_resident_epoch,
+        build_fused_resident_step,
+    )
 
     bank = dataset.build_resident_bank(files)
     fused_f32 = build_fused_resident_step(model, tx, mesh, dataset)
     fused_bf16 = build_fused_resident_step(model_bf16, tx, mesh, dataset)
+    fused_epoch_bf16 = build_fused_resident_epoch(model_bf16, tx, mesh, dataset)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    epoch_sharding = NamedSharding(mesh, P(None, meshlib.DATA_AXIS))
 
     def run_epoch(mode):
         nonlocal key
@@ -559,7 +566,31 @@ def measure_pretrain_e2e(tmp, compute_bound: float = 30935) -> dict:
 
         def run_steps(steps):
             nonlocal key, state
-            if mode.startswith("resident_fused"):
+            if mode == "resident_scanned_bf16":
+                import jax.numpy as jnp
+
+                idx_a, lbl_a, sil_a = [], [], []
+                for idx, lbl, sil in dataset.host_train_indices(
+                    files, BS, steps, bank, labels=labels,
+                    single_target=False,
+                ):
+                    idx_a.append(idx)
+                    lbl_a.append(lbl)
+                    sil_a.append(sil)
+                idx_d, lbl_d, sil_d = jax.device_put(
+                    (
+                        np.asarray(idx_a, np.int32),
+                        np.asarray(lbl_a, np.int32),
+                        np.asarray(sil_a, bool),
+                    ),
+                    epoch_sharding,
+                )
+                key, sub = split_fn(key)
+                state, _dk, _rk, _m = fused_epoch_bf16(
+                    state, bank["bank"], idx_d, sil_d, lbl_d,
+                    dataset._next_key(), sub,
+                )
+            elif mode.startswith("resident_fused"):
                 for idx, lbl, sil in dataset.host_train_indices(
                     files, BS, steps, bank, labels=labels,
                     single_target=False,
@@ -578,7 +609,9 @@ def measure_pretrain_e2e(tmp, compute_bound: float = 30935) -> dict:
         with mesh:
             state = init_fn(meshlib.replicate(mesh, variables))
             # warmup: compile augment+frontend and train step, fill wav cache
-            run_steps(3)
+            # scanned mode compiles per scan length: warm with the SAME
+            # length as the timed pass so timing excludes compilation
+            run_steps(STEPS if mode == "resident_scanned_bf16" else 3)
             jax.block_until_ready(state.params)
             t0 = time.perf_counter()
             run_steps(STEPS)
@@ -590,6 +623,7 @@ def measure_pretrain_e2e(tmp, compute_bound: float = 30935) -> dict:
     res = run_epoch("resident")
     res_fused = run_epoch("resident_fused")
     res_bf16 = run_epoch("resident_fused_bf16")
+    res_scan = run_epoch("resident_scanned_bf16")
     # compute_bound: bf16 clips/s of the pure train step (caller passes the
     # live measurement from measure_pretrain_step; default = round-1 value)
     return {
@@ -599,8 +633,9 @@ def measure_pretrain_e2e(tmp, compute_bound: float = 30935) -> dict:
         "hbm_resident_clips_per_sec": round(res, 0),
         "hbm_resident_fused_clips_per_sec": round(res_fused, 0),
         "hbm_resident_fused_bf16_clips_per_sec": round(res_bf16, 0),
+        "hbm_resident_scanned_bf16_clips_per_sec": round(res_scan, 0),
         "unit": "clips/sec",
-        "pct_of_train_step_bound": round(100 * res_bf16 / compute_bound, 1),
+        "pct_of_train_step_bound": round(100 * res_scan / compute_bound, 1),
         "note": (
             "sync/prefetch are SINGLE samples and tunnel load swings them "
             "+-30%; the settled A/B is benchmarks/prefetch_ab.json "

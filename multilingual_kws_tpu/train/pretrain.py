@@ -68,6 +68,12 @@ class PretrainConfig:
     # features are bit-identical to the streaming path.
     resident_data: Optional[bool] = None
     resident_max_bytes: int = AudioDataset.RESIDENT_MAX_BYTES
+    # run each epoch of the resident path as ONE scanned device program
+    # (build_fused_resident_epoch) instead of one dispatch per step —
+    # same draws/keys, equal to fusion-order float rounding
+    # (tests/test_pipeline.py); removes the per-step host round trip.
+    # False falls back to the per-step fused program.
+    scan_epoch: bool = True
     # "bfloat16" runs conv/dense/BN compute in bf16 on the MXU (params, BN
     # running stats, the 192-d embedding, logits and the optimizer all stay
     # float32 — standard TPU mixed precision). "float32" = reference-exact.
@@ -171,6 +177,70 @@ def build_fused_resident_step(model, tx, mesh, dataset):
     return fused_step
 
 
+def build_fused_resident_epoch(model, tx, mesh, dataset):
+    """A whole epoch of the HBM-resident path as ONE device program:
+    lax.scan over the fused gather+augment+featurize+fwd/bwd/adam step.
+
+    The per-step fused path still pays one host dispatch + one ~3 KB index
+    upload per step; at 10-15 ms/step through a remote tunnel the host loop
+    is on the critical path. Scanning leaves one dispatch and one
+    (steps, B) index upload per EPOCH (the same design as
+    train/steps.make_finetune_epoch_scan).
+
+    Same draws as per-step build_fused_resident_step: the augmentation and
+    dropout key chains are carried THROUGH the scan with the same split
+    recurrence (key, sub = split(key)), and the final keys are returned so
+    the caller resynchronizes the dataset/trainer chains. Outputs match to
+    XLA fusion-order float rounding (the scanned body compiles separately
+    from the standalone step, so it is NOT bitwise-identical; adam can
+    amplify ~1e-7 gradient drift to ~lr on near-zero-gradient elements —
+    tests/test_pipeline.py pins the equivalence bands)."""
+    repl = NamedSharding(mesh, P())
+
+    def loss_fn(params, batch_stats, specs, labels, dropout_key):
+        logits, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            specs,
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": dropout_key},
+        )
+        loss = sparse_ce_from_logits(logits, labels).mean()
+        acc = (jnp.argmax(logits, -1) == labels).mean()
+        return loss, (acc, mutated["batch_stats"])
+
+    @partial(jax.jit, donate_argnums=0)
+    def fused_epoch(state: TrainState, bank, idx_all, sil_all, lbl_all,
+                    data_key, dropout_key):
+        """idx/sil/lbl_all: (steps, B) batch-sharded on axis 1."""
+
+        def body(carry, xs):
+            st, dkey, rkey = carry
+            idx, sil, lbl = xs
+            dks = jax.random.split(dkey)
+            dkey, aug_key = dks[0], dks[1]
+            rks = jax.random.split(rkey)
+            rkey, sub = rks[0], rks[1]
+            specs = dataset._train_device_resident(aug_key, bank, idx, sil)
+            (loss, (acc, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(st.params, st.batch_stats, specs, lbl, sub)
+            updates, opt_state = tx.update(grads, st.opt_state, st.params)
+            params = optax.apply_updates(st.params, updates)
+            nst = TrainState(params, opt_state, new_stats, st.step + 1)
+            return (nst, dkey, rkey), (loss, acc)
+
+        (state, dkey, rkey), (losses, accs) = jax.lax.scan(
+            body, (state, data_key, dropout_key), (idx_all, sil_all, lbl_all)
+        )
+        state = jax.lax.with_sharding_constraint(
+            state, jax.tree_util.tree_map(lambda _: repl, state)
+        )
+        return state, dkey, rkey, {"loss": losses, "accuracy": accs}
+
+    return fused_epoch
+
+
 def pretrain(
     train_files: Sequence[str],
     val_files: Sequence[str],
@@ -269,14 +339,50 @@ def pretrain(
 
     fused_step = (
         build_fused_resident_step(model, tx, mesh, dataset)
-        if use_resident
+        if use_resident and not config.scan_epoch
         else None
     )
+    fused_epoch = (
+        build_fused_resident_epoch(model, tx, mesh, dataset)
+        if use_resident and config.scan_epoch
+        else None
+    )
+    epoch_in_sharding = NamedSharding(
+        mesh, P(None, meshlib.DATA_AXIS)
+    )  # (steps, B) batch axis sharded
 
     def run_train_steps(num_steps, losses, accs):
         """One pass of num_steps train steps; appends device metrics."""
         nonlocal state, key
-        if use_resident:
+        if use_resident and config.scan_epoch:
+            # whole pass = ONE scanned device program + one (steps, B)
+            # index upload; key chains carried through the scan and
+            # resynchronized after (same draws as the per-step path)
+            idx_a, lbl_a, sil_a = [], [], []
+            for idx, lbl, sil in dataset.host_train_indices(
+                train_files, config.batch_size, num_steps, bank,
+                labels=train_labels, single_target=False,
+            ):
+                idx_a.append(idx)
+                lbl_a.append(lbl)
+                sil_a.append(sil)
+            idx_d, lbl_d, sil_d = jax.device_put(
+                (
+                    np.asarray(idx_a, np.int32),
+                    np.asarray(lbl_a, np.int32),
+                    np.asarray(sil_a, bool),
+                ),
+                epoch_in_sharding,
+            )
+            state, dkey, rkey, m = fused_epoch(
+                state, bank["bank"], idx_d, sil_d, lbl_d,
+                dataset.key, key,
+            )
+            dataset.key = dkey
+            key = rkey
+            losses.extend(np.asarray(m["loss"]).tolist())
+            accs.extend(np.asarray(m["accuracy"]).tolist())
+        elif use_resident:
             # one fused program per step: gather+augment+featurize+train
             for idx, lbl, sil in dataset.host_train_indices(
                 train_files, config.batch_size, num_steps, bank,

@@ -3,6 +3,8 @@
 
 import time
 
+import jax
+
 import numpy as np
 import pytest
 
@@ -150,3 +152,63 @@ def test_pretrain_resident_matches_streaming(tmp_path):
     np.testing.assert_allclose(
         h_res["val_accuracy"], h_stream["val_accuracy"], atol=1e-6
     )
+
+
+def test_pretrain_scanned_epoch_bit_identical_to_per_step(tmp_path):
+    """The scanned-epoch resident program (build_fused_resident_epoch,
+    scan_epoch=True default) must reproduce the per-step fused path
+    numerically: same draws and key chains carried through the scan; XLA
+    compiles the scanned body separately from the standalone step, so
+    outputs match to fusion-order float rounding, not bitwise."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from helpers import make_corpus, tiny_embedding_model
+
+    from multilingual_kws_tpu.parallel import mesh as meshlib
+    from multilingual_kws_tpu.train.pretrain import PretrainConfig, pretrain
+
+    corpus = make_corpus(tmp_path / "c", clips_per_word=8)
+    words = ["alpha", "bravo"]
+    train_files = [f for w in words for f in corpus[w][:6]]
+    val_files = [f for w in words for f in corpus[w][6:]]
+
+    def run(scan):
+        state, _, hist, _ = pretrain(
+            train_files,
+            val_files,
+            commands=words,
+            background_data_dir=corpus["bg_dir"],
+            unknown_files=corpus["unknown_files"],
+            config=PretrainConfig(
+                num_labels=4, batch_size=8, num_epochs=2,
+                learning_rate=3e-3, silence_percentage=10,
+                unknown_percentage=15, shuffle_seed=0, steps_per_epoch=3,
+                resident_data=True, scan_epoch=scan,
+            ),
+            mesh=meshlib.make_mesh(num_devices=2),
+            verbose=0,
+            model=tiny_embedding_model(num_labels=4),
+        )
+        return state, hist
+
+    s_step, h_step = run(False)
+    s_scan, h_scan = run(True)
+    # the per-epoch losses are the sharp instrument: a key-chain mismatch
+    # would diverge them wildly by epoch 2
+    np.testing.assert_allclose(h_scan["loss"], h_step["loss"], rtol=1e-5)
+    np.testing.assert_allclose(
+        h_scan["val_accuracy"], h_step["val_accuracy"], atol=1e-6
+    )
+    # params: adam's update magnitude is ~lr even for near-zero gradients,
+    # so fusion-order float drift (~1e-7) on a near-zero gradient can flip
+    # an update's sign on a few elements (observed: BN biases). Assert the
+    # overwhelming majority matches tightly instead of exactness.
+    a = np.concatenate(
+        [np.ravel(x) for x in jax.tree_util.tree_leaves(s_scan.params)]
+    )
+    b = np.concatenate(
+        [np.ravel(x) for x in jax.tree_util.tree_leaves(s_step.params)]
+    )
+    frac = np.mean(np.abs(a - b) <= 1e-4)
+    assert frac >= 0.999, frac
