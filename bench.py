@@ -739,7 +739,7 @@ def run_extra() -> None:
             "f32_clips_per_sec": round(detail["float32"], 0),
             "bf16_clips_per_sec": round(detail["bfloat16"], 0),
             "vs_tf_cpu_baseline": round(ours / bval, 0) if bval == bval else None,
-            "bit_exact_on_chip": True,
+            "bit_exact_on_chip": bool(bit_exact),
             "baseline_provenance": base["provenance"],
         }
     ]

@@ -58,6 +58,8 @@ class RealtimeDetector:
         self.target_keyword = target_keyword
         self.predict_fn = predict_fn
         self.sample_rate = sample_rate
+        self.clip_duration_ms = clip_duration_ms
+        self.clip_stride_ms = clip_stride_ms
         self.clip_samples = clip_duration_ms * sample_rate // 1000
         self.stride_samples = clip_stride_ms * sample_rate // 1000
 
@@ -132,11 +134,15 @@ class RealtimeDetector:
         return detections
 
     def reset(self) -> None:
+        """Clear all stream/detector state; every constructor setting
+        (including non-default clip_duration_ms/clip_stride_ms) survives."""
         self.__init__(
             self.target_keyword,
             self.predict_fn,
             detection_threshold=self.recognizer._threshold,
             sample_rate=self.sample_rate,
+            clip_duration_ms=self.clip_duration_ms,
+            clip_stride_ms=self.clip_stride_ms,
             suppression_ms=self.recognizer._suppression,
             average_window_duration_ms=self.recognizer._window,
             minimum_count=self.recognizer._minimum_count,
