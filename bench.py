@@ -620,23 +620,41 @@ def measure_pretrain_e2e(tmp, compute_bound: float = 30935) -> dict:
 
     sync = run_epoch("sync")
     pref = run_epoch("prefetch")
-    res = run_epoch("resident")
-    res_fused = run_epoch("resident_fused")
-    res_bf16 = run_epoch("resident_fused_bf16")
-    res_scan = run_epoch("resident_scanned_bf16")
+    # resident modes: tunnel load swings single samples +-30%
+    # (docs/PERFORMANCE.md §2), so run 3 ALTERNATING reps per mode and
+    # report medians — the same settled-A/B protocol as prefetch_ab.json
+    resident_modes = [
+        "resident", "resident_fused", "resident_fused_bf16",
+        "resident_scanned_bf16",
+    ]
+    reps: dict = {m: [] for m in resident_modes}
+    for _rep in range(3):
+        for m in resident_modes:
+            reps[m].append(run_epoch(m))
+    med = {m: float(np.median(v)) for m, v in reps.items()}
     # compute_bound: bf16 clips/s of the pure train step (caller passes the
     # live measurement from measure_pretrain_step; default = round-1 value)
     return {
         "metric": "761-way pretrain END-TO-END incl. input pipeline (bs 512)",
         "stream_sync_clips_per_sec": round(sync, 0),
         "stream_prefetch2_clips_per_sec": round(pref, 0),
-        "hbm_resident_clips_per_sec": round(res, 0),
-        "hbm_resident_fused_clips_per_sec": round(res_fused, 0),
-        "hbm_resident_fused_bf16_clips_per_sec": round(res_bf16, 0),
-        "hbm_resident_scanned_bf16_clips_per_sec": round(res_scan, 0),
+        "hbm_resident_clips_per_sec": round(med["resident"], 0),
+        "hbm_resident_fused_clips_per_sec": round(med["resident_fused"], 0),
+        "hbm_resident_fused_bf16_clips_per_sec": round(
+            med["resident_fused_bf16"], 0
+        ),
+        "hbm_resident_scanned_bf16_clips_per_sec": round(
+            med["resident_scanned_bf16"], 0
+        ),
+        "resident_reps_clips_per_sec": {
+            m: [round(v, 0) for v in reps[m]] for m in resident_modes
+        },
         "unit": "clips/sec",
-        "pct_of_train_step_bound": round(100 * res_scan / compute_bound, 1),
+        "pct_of_train_step_bound": round(
+            100 * med["resident_scanned_bf16"] / compute_bound, 1
+        ),
         "note": (
+            "resident numbers are MEDIANS of 3 alternating reps; "
             "sync/prefetch are SINGLE samples and tunnel load swings them "
             "+-30%; the settled A/B is benchmarks/prefetch_ab.json "
             "(5 alternating reps: medians sync 1087 vs prefetch2 1398)"
@@ -830,7 +848,7 @@ def main():
                 "value": round(ours, 1),
                 "unit": "clips/sec",
                 "vs_baseline": round(vs, 2) if vs is not None else None,
-                "bit_exact_on_chip": True,
+                "bit_exact_on_chip": bool(bit_exact),
                 "model_compute_dtype": dtype_used,
                 "f32_clips_per_sec": round(detail["float32"], 1),
                 "bf16_clips_per_sec": round(detail["bfloat16"], 1),

@@ -151,7 +151,9 @@ def transfer_learn(
         (1, model_settings.spectrogram_length, model_settings.fingerprint_width, 1),
         jnp.float32,
     )
-    variables = model.init(rng, dummy, train=False)
+    # init under jit: one compiled program, not hundreds of eager op
+    # compiles (same cold-start fix as train/pretrain.py)
+    variables = jax.jit(lambda r: model.init(r, dummy, train=False))(rng)
     params = dict(variables["params"])
     batch_stats = variables.get("batch_stats")
 

@@ -288,7 +288,10 @@ def pretrain(
         (1, model_settings.spectrogram_length, model_settings.fingerprint_width, 1),
         jnp.float32,
     )
-    variables = model.init(rng, dummy, train=False)
+    # init under jit: ONE compiled program instead of one tiny executable
+    # per eager op (a full-B0 eager init through the remote-TPU tunnel
+    # paid hundreds of sequential op compiles — minutes of cold start)
+    variables = jax.jit(lambda r: model.init(r, dummy, train=False))(rng)
     if resume_params is not None:
         variables = {**variables, **resume_params}
 

@@ -161,11 +161,11 @@ def main():
         )
     killed_at_epoch = None
     while proc.poll() is None:
-        time.sleep(5)
-        done = count_epochs(log_a)
+        time.sleep(2)  # CSVLogger flushes per epoch; poll fast so quick
+        done = count_epochs(log_a)  # epochs can't race the whole run past us
         if done >= PHASE_A_EPOCHS:
-            # kill MID-epoch: wait until the next epoch is underway
-            time.sleep(10)
+            # kill MID-epoch: the next epoch is underway within ~a second
+            time.sleep(3)
             os.kill(proc.pid, signal.SIGKILL)
             killed_at_epoch = count_epochs(log_a)
             proc.wait()
@@ -206,7 +206,7 @@ def main():
     rows_a, rows_b = read_csv(log_a), read_csv(log_b)
     val_a = [float(r["val_accuracy"]) for r in rows_a]
     val_b = [float(r["val_accuracy"]) for r in rows_b]
-    resume_meta = json.loads((RUN / "ckpt" / "metadata.json").read_text())
+    resume_meta = json.loads((RUN / "ckpt" / "kws_metadata.json").read_text())
     n_train = corpus["n_train"]
     clips_a = killed_at_epoch * n_train
     clips_b = len(rows_b) * n_train
