@@ -310,7 +310,11 @@ def _fft_energy_math(tw_ref, fr, fi, variant="ref", bf_ref=None):
     # flat over the 256 lanes; the three formulations differ only in how
     # each lane obtains its group's four quarter values.
     for s, (fstride, m) in enumerate(_STAGES):
-        q = (lane % (4 * m)) // m  # quarter id of each lane
+        # quarter id of each lane: m is always a power of 4, so
+        # (lane % (4m)) // m strength-reduces to shift+mask (the %,//
+        # pair emitted real div/rem vector ops in the Mosaic lowering —
+        # tools_dev/vpu_roofline.py census)
+        q = (lane >> int(m).bit_length() - 1) & 3
         if variant == "rot":
             fr, fi = _stage_rot(tw_ref, s, fstride, m, q, fr, fi)
         elif variant == "mxu":
@@ -618,6 +622,104 @@ def _select_chain(idx_i32, table, width):
     return out
 
 
+def _pcan_section(est_seq, out, *, wdf_rows, lut012, snr_shift):
+    """PCAN gain over a NR-output slab: WideDynamicFunction
+    (micro_int.wide_dynamic_function semantics) with the (32, 3) LUT rows
+    as static immediates. l1/l2 fit 16 bits signed, so they ride ONE
+    packed select chain and unpack with two shifts (the packing halves
+    this section's select count, benchmarks/fft_cost_decomposition.json).
+    Pure jnp on plain arrays: runs identically inside the Mosaic kernel
+    and under jax.make_jaxpr (tools_dev/vpu_roofline.py's op census)."""
+    from .micro_int import msb32, pcan_gain, umin, umax
+
+    U = jnp.uint32
+    I = jnp.int32
+    x = est_seq
+    interval = msb32(x)
+    idx = jnp.clip(interval.astype(I) - 1, 0, 31)
+
+    def _as_i32(v):
+        return v - (1 << 32) if v >= (1 << 31) else v
+
+    packed12 = tuple(
+        _as_i32(((int(r[1]) & 0xFFFF) << 16) | (int(r[2]) & 0xFFFF))
+        for r in wdf_rows
+    )
+    l0 = _select_chain(idx, tuple(int(r[0]) for r in wdf_rows), 32)
+    p12 = _select_chain(idx, packed12, 32)
+    l1 = p12 >> 16  # arithmetic shift restores the sign
+    l2 = (p12 << 16) >> 16
+    shl = umin(umax(U(11) - umin(interval, U(11)), U(0)), U(31))
+    shr = umin(umax(interval, U(11)) - U(11), U(31))
+    frac = (
+        jnp.where(interval < U(11), x << shl, x >> shr) & U(0x3FF)
+    ).astype(I)
+    r = (l2 * frac) >> 5
+    r = r + (l1 << 5)
+    r_hi = r >> 16
+    r_lo = r & 0xFFFF
+    r = r_hi * frac * 2 + ((r_lo * frac + (1 << 14)) >> 15)
+    r = r + l0
+    small = x <= U(2)
+    direct = jnp.where(
+        x < U(1), jnp.int32(lut012[0]),
+        jnp.where(x < U(2), jnp.int32(lut012[1]), jnp.int32(lut012[2])),
+    )
+    gain = jnp.where(small, direct, r)
+    return pcan_gain(out, gain, snr_shift)
+
+
+def _log_section(out, *, correction_bits, scale_shift, log_pairs):
+    """Integer log scaling (micro_int.log_scale_int semantics) with the
+    129 segment pairs as static immediates: (c0 << 16) | c1 rides one
+    packed select chain instead of two 128-select chains. Pure jnp on
+    plain arrays (see _pcan_section)."""
+    from .micro_int import msb32, umin, umax
+    from .micro_exact import LOG_SCALE_LOG2, LOG_COEFF
+
+    U = jnp.uint32
+    I = jnp.int32
+    value = out << U(correction_bits)
+    nonzero = value > U(0)
+    v = umax(value, U(1))
+    integer = msb32(v) - U(1)
+    frac = v - (U(1) << integer)
+    shl = umin(
+        umax(
+            U(LOG_SCALE_LOG2) - umin(integer, U(LOG_SCALE_LOG2)), U(0)
+        ),
+        U(31),
+    )
+    shr = umin(
+        umax(integer, U(LOG_SCALE_LOG2)) - U(LOG_SCALE_LOG2), U(31)
+    )
+    frac = jnp.where(integer < U(LOG_SCALE_LOG2), frac << shl, frac >> shr)
+    from .micro_exact import LOG_SEGMENTS_LOG2
+
+    seg_shift = LOG_SCALE_LOG2 - LOG_SEGMENTS_LOG2  # 9
+    base_seg = (frac >> U(seg_shift)).astype(I)  # 0..128
+    packed01 = tuple(
+        (int(c0) << 16) | int(c1) for c0, c1 in log_pairs
+    )
+    p01 = _select_chain(base_seg, packed01, 129)
+    c0 = p01 >> 16
+    c1 = p01 & 0xFFFF
+    delta = frac.astype(I) - (base_seg << seg_shift)
+    rel = ((c1 - c0) * delta) >> LOG_SCALE_LOG2
+    fraction = frac.astype(I) + c0 + rel
+    log2v = ((integer.astype(I)) << LOG_SCALE_LOG2) + fraction
+    lv = log2v.astype(U)
+    h16 = lv >> U(16)
+    l16 = lv & U(0xFFFF)
+    rnd = U(1 << (LOG_SCALE_LOG2 - 1))
+    loge = U(LOG_COEFF) * h16 + (
+        (U(LOG_COEFF) * l16 + rnd) >> U(LOG_SCALE_LOG2)
+    )
+    logged = ((loge << U(scale_shift)) + rnd) >> U(LOG_SCALE_LOG2)
+    out = jnp.where(nonzero, logged, U(0))
+    return umin(out, U(0xFFFF))
+
+
 def _clip_frontend_full_kernel(
     tw_ref, bf_ref, win_ref, pr_ref, pi_ref, fbh_ref, fbl_ref, sm_ref,
     om_ref, rows_ref, out_ref, sig_scratch, est_scratch,
@@ -636,13 +738,9 @@ def _clip_frontend_full_kernel(
     dynamic function, log segments) select via where-chains over static
     immediates instead of one-hot matmuls. Semantics are micro_int's
     (bit-exact; tests compare element-for-element)."""
-    from .micro_int import (
-        msb32, nr_estimate_step, nr_subtract, pcan_gain, umin, umax,
-    )
-    from .micro_exact import LOG_SCALE_LOG2, LOG_SEGMENTS_LOG2, LOG_COEFF
+    from .micro_int import nr_estimate_step, nr_subtract, umin
 
     U = jnp.uint32
-    I = jnp.int32
     rows = rows_ref[:]  # (R, step) int32, R = (nf+1)*cb
     r_total = rows.shape[0]
     nxt = pltpu.roll(rows, r_total - cb, 0)  # row (f+1, c) at (f, c)
@@ -673,85 +771,15 @@ def _clip_frontend_full_kernel(
 
     out = nr_subtract(sig_real, est_seq, U(msr), smoothing_bits)
     if enable_pcan:
-        # WideDynamicFunction (micro_int.wide_dynamic_function) with the
-        # (32, 3) LUT rows as static immediates; l1/l2 fit 16 bits signed,
-        # so they ride ONE select chain packed and unpack with two shifts
-        # (the chains run once per feature cell — the packing halves this
-        # section's select count, benchmarks/fft_cost_decomposition.json)
-        x = est_seq
-        interval = msb32(x)
-        idx = jnp.clip(interval.astype(I) - 1, 0, 31)
-        def _as_i32(v):
-            return v - (1 << 32) if v >= (1 << 31) else v
-
-        packed12 = tuple(
-            _as_i32(((int(r[1]) & 0xFFFF) << 16) | (int(r[2]) & 0xFFFF))
-            for r in wdf_rows
+        out = _pcan_section(
+            est_seq, out, wdf_rows=wdf_rows, lut012=lut012,
+            snr_shift=snr_shift,
         )
-        l0 = _select_chain(idx, tuple(int(r[0]) for r in wdf_rows), 32)
-        p12 = _select_chain(idx, packed12, 32)
-        l1 = p12 >> 16  # arithmetic shift restores the sign
-        l2 = (p12 << 16) >> 16
-        shl = umin(umax(U(11) - umin(interval, U(11)), U(0)), U(31))
-        shr = umin(umax(interval, U(11)) - U(11), U(31))
-        frac = (
-            jnp.where(interval < U(11), x << shl, x >> shr) & U(0x3FF)
-        ).astype(I)
-        r = (l2 * frac) >> 5
-        r = r + (l1 << 5)
-        r_hi = r >> 16
-        r_lo = r & 0xFFFF
-        r = r_hi * frac * 2 + ((r_lo * frac + (1 << 14)) >> 15)
-        r = r + l0
-        small = x <= U(2)
-        direct = jnp.where(
-            x < U(1), jnp.int32(lut012[0]),
-            jnp.where(x < U(2), jnp.int32(lut012[1]), jnp.int32(lut012[2])),
-        )
-        gain = jnp.where(small, direct, r)
-        out = pcan_gain(out, gain, snr_shift)
     if enable_log:
-        # integer log (micro_int.log_scale_int) with the 129 segment pairs
-        # as static immediates
-        value = out << U(correction_bits)
-        nonzero = value > U(0)
-        v = umax(value, U(1))
-        integer = msb32(v) - U(1)
-        frac = v - (U(1) << integer)
-        shl = umin(
-            umax(
-                U(LOG_SCALE_LOG2) - umin(integer, U(LOG_SCALE_LOG2)), U(0)
-            ),
-            U(31),
+        out = _log_section(
+            out, correction_bits=correction_bits, scale_shift=scale_shift,
+            log_pairs=log_pairs,
         )
-        shr = umin(
-            umax(integer, U(LOG_SCALE_LOG2)) - U(LOG_SCALE_LOG2), U(31)
-        )
-        frac = jnp.where(integer < U(LOG_SCALE_LOG2), frac << shl, frac >> shr)
-        seg_shift = LOG_SCALE_LOG2 - LOG_SEGMENTS_LOG2  # 9
-        base_seg = (frac >> U(seg_shift)).astype(I)  # 0..128
-        # LUT values are < 2^14 and nonnegative: one packed select chain
-        # ((c0 << 16) | c1) replaces two 128-select chains
-        packed01 = tuple(
-            (int(c0) << 16) | int(c1) for c0, c1 in log_pairs
-        )
-        p01 = _select_chain(base_seg, packed01, 129)
-        c0 = p01 >> 16
-        c1 = p01 & 0xFFFF
-        delta = frac.astype(I) - (base_seg << seg_shift)
-        rel = ((c1 - c0) * delta) >> LOG_SCALE_LOG2
-        fraction = frac.astype(I) + c0 + rel
-        log2v = ((integer.astype(I)) << LOG_SCALE_LOG2) + fraction
-        lv = log2v.astype(U)
-        h16 = lv >> U(16)
-        l16 = lv & U(0xFFFF)
-        rnd = U(1 << (LOG_SCALE_LOG2 - 1))
-        loge = U(LOG_COEFF) * h16 + (
-            (U(LOG_COEFF) * l16 + rnd) >> U(LOG_SCALE_LOG2)
-        )
-        logged = ((loge << U(scale_shift)) + rnd) >> U(LOG_SCALE_LOG2)
-        out = jnp.where(nonzero, logged, U(0))
-        out = umin(out, U(0xFFFF))
     else:
         out = umin(out, U(0xFFFF))
     out_ref[0] = out

@@ -23,40 +23,80 @@ def _to_pure(tree):
     return jax.tree_util.tree_map(np.asarray, tree)
 
 
+def _sibling(path: Path, suffix: str) -> Path:
+    return path.parent / (path.name + suffix)
+
+
 def save_model(
     path,
     params,
     batch_stats=None,
     metadata: Optional[Dict] = None,
 ) -> None:
-    """Save params (+ batch stats) with metadata. Overwrites."""
-    path = Path(path).resolve()
-    if path.exists():
-        import shutil
+    """Save params (+ batch stats) with metadata. Overwrites CRASH-SAFELY:
+    the new checkpoint is fully written to a sibling ".saving" dir (state
+    first, metadata last as the completion marker), then swapped in with
+    two renames. A SIGKILL at ANY point leaves a loadable checkpoint on
+    disk — either the old one at `path`/`path.prev` or the completed new
+    one. (Round-4 scale run caught the old rmtree-then-save destroying
+    the previous best when killed mid-save: the exact crash the
+    reference's resume workflow, train_multilingual_embedding.py:96-133,
+    must survive.) load_model knows the recovery order."""
+    import shutil
 
-        shutil.rmtree(path)
+    path = Path(path).resolve()
+    tmp = _sibling(path, ".saving")
+    prev = _sibling(path, ".prev")
+    for stale in (tmp, prev):
+        if stale.exists():
+            shutil.rmtree(stale)
     ckptr = ocp.StandardCheckpointer()
     payload = {"params": _to_pure(params)}
     if batch_stats is not None:
         payload["batch_stats"] = _to_pure(batch_stats)
-    ckptr.save(path / "state", payload)
+    ckptr.save(tmp / "state", payload)
     ckptr.wait_until_finished()
     meta = dict(metadata or {})
     meta.setdefault("format", "multilingual_kws_tpu.v1")
     meta.setdefault("embedding_output", "embedding_head/dense_2")
     meta["has_batch_stats"] = batch_stats is not None
-    with open(path / METADATA_FILE, "w") as fh:
+    with open(tmp / METADATA_FILE, "w") as fh:
         json.dump(meta, fh, indent=1)
+        fh.flush()
+        import os
+
+        os.fsync(fh.fileno())
+    # swap: old -> .prev, new -> path, drop .prev. Each step is a single
+    # rename; a crash leaves at worst {path missing, .prev complete} which
+    # _resolve_checkpoint_dir recovers.
+    if path.exists():
+        path.rename(prev)
+    tmp.rename(path)
+    if prev.exists():
+        shutil.rmtree(prev)
+
+
+def _resolve_checkpoint_dir(path: Path) -> Path:
+    """The directory holding the newest COMPLETE checkpoint for `path`
+    (metadata present = save completed, since metadata is written last).
+    Newest-first recovery order: a COMPLETE `path.saving` always postdates
+    `path` (save_model clears stale .saving before building a new one),
+    then `path` itself, then `path.prev` (killed between the two swap
+    renames)."""
+    for cand in (_sibling(path, ".saving"), path, _sibling(path, ".prev")):
+        if (cand / METADATA_FILE).is_file():
+            return cand
+    return path  # let the caller's open() raise the natural error
 
 
 def load_metadata(path) -> Dict:
-    with open(Path(path).resolve() / METADATA_FILE) as fh:
+    with open(_resolve_checkpoint_dir(Path(path).resolve()) / METADATA_FILE) as fh:
         return json.load(fh)
 
 
 def load_model(path):
     """Returns (payload dict with 'params' [+ 'batch_stats'], metadata)."""
-    path = Path(path).resolve()
+    path = _resolve_checkpoint_dir(Path(path).resolve())
     with open(path / METADATA_FILE) as fh:
         meta = json.load(fh)
     ckptr = ocp.StandardCheckpointer()

@@ -206,7 +206,9 @@ def main():
     rows_a, rows_b = read_csv(log_a), read_csv(log_b)
     val_a = [float(r["val_accuracy"]) for r in rows_a]
     val_b = [float(r["val_accuracy"]) for r in rows_b]
-    resume_meta = json.loads((RUN / "ckpt" / "kws_metadata.json").read_text())
+    from multilingual_kws_tpu.train.checkpoints import load_metadata
+
+    resume_meta = load_metadata(RUN / "ckpt")
     n_train = corpus["n_train"]
     clips_a = killed_at_epoch * n_train
     clips_b = len(rows_b) * n_train
