@@ -58,17 +58,18 @@ def vregs(shape) -> int:
 
 # ---------------------------------------------------------------- rates
 def _rate_kernel(body, k):
-    """Pallas kernel: x_ref -> out_ref after k dependent passes of body."""
+    """Pallas kernel: x_ref -> out_ref after k dependent passes of body.
+    k=0 is the pure-copy control (isolates HBM traffic + dispatch)."""
     import jax.experimental.pallas as pl
 
     def kernel(x_ref, y_ref, o_ref):
         x = x_ref[:]
         y = y_ref[:]
-
-        def step(_, x):
-            return body(x, y)
-
-        o_ref[:] = jax.lax.fori_loop(0, k, step, x, unroll=True)
+        if k:
+            x = jax.lax.fori_loop(
+                0, k, lambda _, x: body(x, y), x, unroll=1
+            )
+        o_ref[:] = x
 
     @jax.jit
     def run(x, y):
@@ -96,15 +97,15 @@ def _dot_rate_kernel(k):
         w = w_ref[:]
 
         def step(_, x):
-            y = jnp.dot(
+            return jnp.dot(
                 x.astype(jnp.bfloat16), w,
                 preferred_element_type=jnp.float32,
-            )
-            return y - jnp.floor(y * 0.5) * 2.0  # keep values bounded
+            )  # w entries in {0, 0.5}: values stay bounded
 
-        o_ref[:] = jax.lax.fori_loop(
-            0, k, step, x.astype(jnp.float32), unroll=True
-        )
+        acc = x.astype(jnp.float32)
+        if k:
+            acc = jax.lax.fori_loop(0, k, step, acc, unroll=1)
+        o_ref[:] = acc
 
     @jax.jit
     def run(x, w):
@@ -158,26 +159,43 @@ def measure_rates():
 
         return _chained_time(step, a)
 
+    # deep chains vs a k=0 copy control: the chain must dwarf the HBM
+    # traffic (26M elems in+out ~ 0.2 GB/call) or the K-delta drowns in
+    # dispatch/bandwidth noise (first attempt with K=8/32 measured
+    # NEGATIVE alu time)
+    K = 512
     rates = {}
+    t_copy = time_k(lambda k: _rate_kernel(ops["alu"], 0), 0, x, y)
+    print(f"copy control: {t_copy * 1e6:.0f} us", flush=True)
     for name, body in ops.items():
-        t8 = time_k(lambda k: _rate_kernel(body, k), 8, x, y)
-        t32 = time_k(lambda k: _rate_kernel(body, k), 32, x, y)
-        per_pass = (t32 - t8) / 24  # seconds per one chain step, full array
+        tk = time_k(lambda k: _rate_kernel(body, k), K, x, y)
+        per_pass = (tk - t_copy) / K  # seconds per chain step, full array
         per_op = per_pass / per_step_raw[name]
         rates[name] = {
             "vreg_ops_per_sec": vr_pass / per_op,
             "raw_step_us_full_array": per_pass * 1e6,
         }
-        print(f"rate {name}: {vr_pass / per_op / 1e9:.2f} G vreg-ops/s",
+        print(f"rate {name}: {vr_pass / per_op / 1e9:.2f} G vreg-ops/s "
+              f"(chain {tk * 1e3:.2f} ms vs copy {t_copy * 1e3:.2f} ms)",
               flush=True)
+
+    # per-shift roll rates: the FFT stages' rolls are by j*m and
+    # (j-4)*m mod 256 with m in {1,4,16,64} — lane rotations aligned to
+    # vreg boundaries (128) or sublane-ish strides may lower much cheaper
+    # than the worst-case shift of 1, so price each class separately
+    for sh in (1, 4, 16, 64, 128):
+        body = (lambda s: lambda x, y: pltpu.roll(x, s, 1))(sh)
+        tk = time_k(lambda k: _rate_kernel(body, k), K, x, y)
+        per_op = (tk - t_copy) / K
+        rates[f"roll_s{sh}"] = {
+            "vreg_ops_per_sec": vr_pass / per_op,
+        }
+        print(f"rate roll shift={sh}: {vr_pass / per_op / 1e9:.2f} "
+              f"G vreg-ops/s", flush=True)
 
     # derived pure-select rate: cmpsel = and + eq (alu) + select
     t_alu = 1.0 / rates["alu"]["vreg_ops_per_sec"]
-    t_cmpsel_step = (
-        per_step_raw["cmpsel"]
-        / rates["cmpsel"]["vreg_ops_per_sec"]
-        * 1.0
-    )  # seconds per vreg for the whole 3-op step
+    t_cmpsel_step = per_step_raw["cmpsel"] / rates["cmpsel"]["vreg_ops_per_sec"]
     t_sel = max(t_cmpsel_step - 2 * t_alu, t_alu * 0.25)
     rates["select"] = {"vreg_ops_per_sec": 1.0 / t_sel, "derived": True}
     print(f"rate select (derived): {1.0 / t_sel / 1e9:.2f} G vreg-ops/s",
@@ -185,11 +203,12 @@ def measure_rates():
 
     # bf16 (TILE,256)@(256,256) matmul: passes/s
     w = jax.device_put(
-        (rng.integers(0, 2, (256, 256)) * 1.0).astype(np.float32)
+        (rng.integers(0, 2, (256, 256)) * 0.5).astype(np.float32)
     ).astype(jnp.bfloat16)
-    t8 = time_k(_dot_rate_kernel, 8, x, w)
-    t32 = time_k(_dot_rate_kernel, 32, x, w)
-    per_pass = (t32 - t8) / 24 / 2  # 2 ops per step (dot + bound-fix ~free)
+    KD = 64
+    t0d = time_k(_dot_rate_kernel, 0, x, w)
+    tkd = time_k(_dot_rate_kernel, KD, x, w)
+    per_pass = (tkd - t0d) / KD
     # report as output elements/s for the (R,256)@(256,256) shape
     rates["dot_256x256_bf16"] = {
         "out_elems_per_sec": ROWS * 256 / per_pass,
@@ -391,7 +410,10 @@ def main():
         "log": round(
             decomp["C_full_us_per_clip"] - decomp["E_no_log_us_per_clip"], 3
         ),
-        "filterbank_sqrt_nr_framing": round(
+        # D-A also contains the NR recurrence + framing roll, which the
+        # census can't trace (scratch-ref fori_loop) — the census bound
+        # covers the filterbank+sqrt part only, so this is a loose pair
+        "filterbank_sqrt": round(
             decomp["D_no_pcan_no_log_us_per_clip"]
             - decomp["A_window_fft_energy_us_per_clip"], 3,
         ),
@@ -400,18 +422,62 @@ def main():
         if name in priced:
             lb = priced[name]["lower_bound_us_per_clip"]
             priced[name]["measured_us_per_clip"] = m
-            priced[name]["pct_of_measured_bound"] = (
-                round(100 * lb / m, 1) if m > 0 else None
+            priced[name]["census_time_over_measured"] = (
+                round(lb / m, 2) if m > 0 else None
             )
+
+    # HARD FLOOR for the FFT section: only its un-eliminable,
+    # data-dependent ops — the 42 lane rolls (by their REAL shift mix)
+    # and the twiddle/sround multiplies. Everything else in the census
+    # (iota-derived masks, constant selects, broadcast twiddle rows) is
+    # fair game for Mosaic's folding, which is exactly why the naive
+    # census prices ABOVE the measured time.
+    # Shift mix per (400,256) tile (2 planes x 3 j per stage, see
+    # _stage_rot): m=1 -> {1,2,3,253,254,255}x2; m=4 -> x4-aligned x12;
+    # m=16 -> x16-aligned x12; m=64 -> {64,192}x4 + {128}x2.
+    vr = vregs((400, 256))
+    roll_floor_s = (
+        12 * vr / rates["roll_s1"]["vreg_ops_per_sec"]
+        + 12 * vr / rates["roll_s4"]["vreg_ops_per_sec"]
+        + 12 * vr / rates["roll_s16"]["vreg_ops_per_sec"]
+        + 4 * vr / rates["roll_s64"]["vreg_ops_per_sec"]
+        + 2 * vr / rates["roll_s128"]["vreg_ops_per_sec"]
+    )
+    mul_floor_s = (
+        sections["fft_energy_rot"]["mul"]
+        / rates["mul"]["vreg_ops_per_sec"]
+    )
+    fft_floor = {
+        "rolls_us_per_clip": round(roll_floor_s * 1e6 / 8, 3),
+        "muls_us_per_clip": round(mul_floor_s * 1e6 / 8, 3),
+        "floor_us_per_clip": round((roll_floor_s + mul_floor_s) * 1e6 / 8, 3),
+        "measured_us_per_clip": measured["fft_energy_rot"],
+        "measured_over_floor": round(
+            measured["fft_energy_rot"]
+            / ((roll_floor_s + mul_floor_s) * 1e6 / 8), 2,
+        ),
+        "note": (
+            "floor = un-eliminable data-dependent ops only (42 lane rolls "
+            "at their real shift mix + twiddle/sround multiplies at "
+            "measured serial-chain rates); adds/selects/masks excluded as "
+            "Mosaic-foldable"
+        ),
+    }
     out = {
         "what": (
             "fused frontend priced against MEASURED VPU rates: synthetic "
             "Pallas op-chain kernels on the kernel's own (392,256) tile "
-            "give achievable vreg-op rates; jaxpr census of the kernel's "
-            "section functions gives exact op mixes; lower-bound time = "
-            "census/rates. measured_us_per_clip from "
-            "fft_cost_decomposition.json (same chip, chained timing)"
+            "give achievable per-op-class rates; jaxpr census of the "
+            "kernel's section functions gives the nominal op mixes. "
+            "census_time_over_measured > 1 means the compiled kernel "
+            "EXECUTES FASTER than its nominal op count priced at those "
+            "rates — Mosaic folds constant-mask selects / hoists "
+            "invariants — so the census is an overcount, not a bound; "
+            "fft_hard_floor prices only the un-eliminable ops. "
+            "measured_us_per_clip from fft_cost_decomposition.json "
+            "(same chip, chained timing)"
         ),
+        "fft_hard_floor": fft_floor,
         "rates": {
             k: {kk: (round(vv, 3) if isinstance(vv, float) else vv)
                 for kk, vv in v.items()}
