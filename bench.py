@@ -433,7 +433,7 @@ def measure_pretrain_step() -> dict:
     from multilingual_kws_tpu.models.kws_model import make_embedding_model
     from multilingual_kws_tpu.parallel import mesh as meshlib
     from multilingual_kws_tpu.train.pretrain import build_pretrain_step
-    from multilingual_kws_tpu.train.steps import adam
+    from multilingual_kws_tpu.train.steps import flat_adam as adam
 
     mesh = meshlib.make_mesh()
     BS = 512
@@ -491,7 +491,7 @@ def measure_pretrain_e2e(tmp, compute_bound: float = 30935) -> dict:
     from multilingual_kws_tpu.parallel import mesh as meshlib
     from multilingual_kws_tpu.settings import standard_microspeech_model_settings
     from multilingual_kws_tpu.train.pretrain import build_pretrain_step
-    from multilingual_kws_tpu.train.steps import adam
+    from multilingual_kws_tpu.train.steps import flat_adam as adam
     from multilingual_kws_tpu.utils.wav import write_wav
 
     tmp = Path(tmp)

@@ -29,7 +29,7 @@ from ..parallel import mesh as meshlib
 from ..settings import ModelSettings, standard_microspeech_model_settings
 from .checkpoints import BestValCheckpoint
 from .metrics import CSVLogger, save_history
-from .steps import TrainState, adam, sparse_ce_from_logits
+from .steps import TrainState, flat_adam, sparse_ce_from_logits
 
 
 @dataclass
@@ -295,7 +295,9 @@ def pretrain(
     if resume_params is not None:
         variables = {**variables, **resume_params}
 
-    tx = adam(config.learning_rate)
+    # flat_adam: bit-identical adam over one flattened vector — halves the
+    # step (benchmarks/step_variant_decomposition.json)
+    tx = flat_adam(config.learning_rate)
     init_fn, step_fn, eval_fn = build_pretrain_step(model, tx, mesh)
 
     with mesh:

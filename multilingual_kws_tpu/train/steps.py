@@ -38,6 +38,32 @@ def adam(learning_rate: float) -> optax.GradientTransformation:
     return optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-7)
 
 
+def flat_adam(learning_rate: float) -> optax.GradientTransformation:
+    """adam() over ONE flattened parameter vector (optax.flatten).
+
+    Bit-identical elementwise to adam() — flattening only concatenates
+    the (all-f32) param leaves before the same IEEE elementwise update
+    math — but it replaces the per-leaf tiny fused loops of the tree
+    update (~300 leaves x the m/v/update chains, each a separate loop
+    with fixed setup cost in the TPU's sequential instruction stream)
+    with a handful of large vector ops. Measured on the v5e
+    (benchmarks/step_variant_decomposition.json, interleaved-rep
+    medians, bs 512): full 761-way pretrain step 12.7 -> 7.2 ms (bf16),
+    13.8 -> 7.1 ms (f32), i.e. the update half of the step was costing
+    more than fwd+bwd. The pretrain driver uses this; finetune keeps
+    adam() inside multi_transform (a 3-unit head gains nothing and
+    flatten does not compose with the label partitioning).
+    tests/test_flat_adam.py pins the update-rule bitwise equivalence
+    (end-to-end runs are not bitwise comparable on CPU: threaded conv
+    gradients are 1-ulp nondeterministic and adam amplifies that).
+
+    NOTE: the optimizer state is a single flat mu/nu vector, so orbax
+    checkpoints written with flat_adam are not interchangeable with
+    tree-adam checkpoints (model params are unaffected).
+    """
+    return optax.flatten(adam(learning_rate))
+
+
 def sparse_ce_from_probs(probs, labels, eps=1e-7):
     """Keras SparseCategoricalCrossentropy(from_logits=False) semantics:
     probs clipped then -log p[label]."""
