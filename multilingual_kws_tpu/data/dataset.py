@@ -25,7 +25,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.augment import AugmentParams, SpecAugParams, augment_waveforms, spec_augment
+from ..ops.augment import (
+    AugmentParams,
+    SpecAugParams,
+    augment_waveforms,
+    pad_background_bank,
+    spec_augment,
+)
 from ..ops.micro_jax import MicroFrontendJax
 from ..ops.micro_exact import FrontendConfig
 from ..settings import (
@@ -116,7 +122,9 @@ def load_background_bank(background_dir) -> Tuple[np.ndarray, np.ndarray]:
     bank = np.zeros((len(wavs), sizes.max()), dtype=np.float32)
     for i, w in enumerate(wavs):
         bank[i, : w.shape[0]] = w
-    return bank, sizes
+    # pre-pad for random_background_crop's blocked gather so the jitted
+    # train transform never copies the bank per step
+    return pad_background_bank(bank), sizes
 
 
 class AudioDataset:

@@ -48,8 +48,30 @@ class AugmentParams:
     spec_aug: SpecAugParams = SpecAugParams()
 
 
+def _per_row_slice(x: jnp.ndarray, start: jnp.ndarray, out_len: int,
+                   max_start: int) -> jnp.ndarray:
+    """out[i, j] = x[i, start_i + j], gather-free (0 <= start_i <= max_start).
+
+    A per-row dynamic slice in the minor (lane) dimension lowers to an
+    elementwise XLA gather — the single most expensive op in the fused
+    pretrain input pipeline (benchmarks/fused_pipeline_decomposition.json:
+    gather+augment was 9.2 ms/step at bs 512, ~18x its HBM roofline).
+    Instead, decompose start_i in binary and apply ceil(log2(max_start+1))
+    UNIFORM static shifts, each a contiguous pad+slice+select pass that XLA
+    runs at HBM bandwidth. Positions past the row end read as zero, which
+    is only ever consumed where the true slice already lay inside x.
+    """
+    b, width = x.shape
+    nbits = max(1, int(max_start).bit_length())
+    for bit in range(nbits):
+        k = 1 << bit
+        shifted = jnp.pad(x[:, k:], ((0, 0), (0, k)))
+        x = jnp.where((start & k)[:, None] != 0, shifted, x)
+    return x[:, :out_len]
+
+
 def random_timeshift(key, audio: jnp.ndarray, max_shift: int) -> jnp.ndarray:
-    """Batched +-max_shift sample shift via pad+dynamic-slice.
+    """Batched +-max_shift sample shift (pad + gather-free per-row slice).
 
     Equivalent to reference random_timeshift (input_data.py:245-268):
     shift>0 pads the beginning (delays), shift<0 slices forward.
@@ -57,12 +79,27 @@ def random_timeshift(key, audio: jnp.ndarray, max_shift: int) -> jnp.ndarray:
     b, n = audio.shape
     shifts = jax.random.randint(key, (b,), -max_shift, max_shift)
     padded = jnp.pad(audio, ((0, 0), (max_shift, max_shift)))
+    # shift amount s>0 -> slice starts at max_shift - s (prepend zeros)
+    return _per_row_slice(padded, max_shift - shifts, n, 2 * max_shift)
 
-    def take(row, s):
-        # shift amount s>0 -> start at max_shift - s (prepend zeros)
-        return jax.lax.dynamic_slice(row, (max_shift - s,), (n,))
 
-    return jax.vmap(take)(padded, shifts)
+# Block size for the coarse background-crop gather: whole BG_BLK-sample rows
+# move contiguously (major-dim row gather, fast); the residual offset
+# (< BG_BLK) is a _per_row_slice fine shift.
+BG_BLK = 512
+
+
+def pad_background_bank(bg_data: np.ndarray, num_samples: int = 16000):
+    """Right-pad the bank so random_background_crop's blocked view never
+    re-pads per step: width must cover floor(max_off/BG_BLK)*BG_BLK plus
+    ceil((num_samples + BG_BLK - 1)/BG_BLK) whole blocks."""
+    nblk_win = -(-(num_samples + BG_BLK - 1) // BG_BLK)
+    max_len = bg_data.shape[1]
+    need = ((max_len - num_samples) // BG_BLK + nblk_win) * BG_BLK
+    if need > max_len:
+        pad = np.zeros((bg_data.shape[0], need - max_len), bg_data.dtype)
+        bg_data = np.concatenate([bg_data, pad], axis=1)
+    return bg_data
 
 
 def random_background_crop(
@@ -71,7 +108,10 @@ def random_background_crop(
     """Random (clip, offset) crops from the padded background bank.
 
     bg_data: (n_bg, max_len) float32; bg_sizes: (n_bg,) int32.
-    Mirrors random_background_sample (input_data.py:227-243).
+    Mirrors random_background_sample (input_data.py:227-243). Offsets are
+    exact (any sample position); the crop is assembled gather-free as a
+    coarse block-row gather (offset // BG_BLK) + a binary-decomposed fine
+    shift (offset % BG_BLK) — see _per_row_slice.
     """
     k1, k2 = jax.random.split(key)
     idx = jax.random.randint(k1, (batch,), 0, bg_data.shape[0])
@@ -80,10 +120,19 @@ def random_background_crop(
     # uniform [0, size - num_samples)
     off = jax.random.randint(k2, (batch,), 0, 2**30) % max_off
 
-    def crop(i, o):
-        return jax.lax.dynamic_slice(bg_data[i], (o,), (num_samples,))
+    nblk_win = -(-(num_samples + BG_BLK - 1) // BG_BLK)
+    n_bg, max_len = bg_data.shape
+    # widest block window starts at floor((max_len - num_samples)/BG_BLK)
+    need = ((max_len - num_samples) // BG_BLK + nblk_win) * BG_BLK
+    if need > max_len:  # bank not pre-padded (see pad_background_bank)
+        bg_data = jnp.pad(bg_data, ((0, 0), (0, need - max_len)))
+    nblk_tot = bg_data.shape[1] // BG_BLK
+    flat = bg_data[:, : nblk_tot * BG_BLK].reshape(n_bg * nblk_tot, BG_BLK)
 
-    return jax.vmap(crop)(idx, off)
+    oq, r = off // BG_BLK, off % BG_BLK
+    rows = flat[(idx * nblk_tot + oq)[:, None] + jnp.arange(nblk_win)[None, :]]
+    window = rows.reshape(batch, nblk_win * BG_BLK)
+    return _per_row_slice(window, r, num_samples, BG_BLK - 1)
 
 
 def add_background(fg: jnp.ndarray, bg: jnp.ndarray, volume: jnp.ndarray) -> jnp.ndarray:

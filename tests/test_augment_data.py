@@ -62,6 +62,80 @@ def test_timeshift_preserves_content():
         assert abs(int(pos[0]) - 8000) <= 1600
 
 
+def test_timeshift_matches_dynamic_slice_reference():
+    """The gather-free binary-shift decomposition must be bit-identical to
+    the naive per-row dynamic slice it replaced (same RNG draws)."""
+    from multilingual_kws_tpu.ops.augment import _per_row_slice
+
+    key = jax.random.PRNGKey(7)
+    x = jnp.asarray(
+        np.random.default_rng(3).normal(0, 0.3, (16, 16000)).astype(np.float32)
+    )
+    max_shift = 1600
+    shifts = jax.random.randint(key, (16,), -max_shift, max_shift)
+    padded = jnp.pad(x, ((0, 0), (max_shift, max_shift)))
+
+    def take(row, s):
+        return jax.lax.dynamic_slice(row, (max_shift - s,), (16000,))
+
+    want = np.asarray(jax.vmap(take)(padded, shifts))
+    got = np.asarray(random_timeshift(key, x, max_shift))
+    np.testing.assert_array_equal(got, want)
+    # and at the extreme starts (0 and 2*max_shift)
+    for s in (-max_shift, 0, max_shift - 1):
+        ss = jnp.full((16,), s, jnp.int32)
+        want = np.asarray(jax.vmap(take)(padded, ss))
+        got = np.asarray(_per_row_slice(padded, max_shift - ss, 16000, 2 * max_shift))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_background_crop_matches_dynamic_slice_reference():
+    """Blocked coarse-gather + fine-shift crop must be bit-identical to the
+    naive per-row dynamic slice, pre-padded bank or not."""
+    from multilingual_kws_tpu.ops.augment import (
+        pad_background_bank,
+        random_background_crop,
+    )
+
+    rng = np.random.default_rng(5)
+    n_bg, num_samples = 3, 16000
+    sizes = np.array([61234, 17000, 16001], np.int32)
+    bank = np.zeros((n_bg, int(sizes.max())), np.float32)
+    for i, n in enumerate(sizes):
+        bank[i, :n] = rng.normal(0, 0.1, n).astype(np.float32)
+
+    key = jax.random.PRNGKey(11)
+    batch = 32
+
+    def naive(bg_data):
+        k1, k2 = jax.random.split(key)
+        idx = jax.random.randint(k1, (batch,), 0, bg_data.shape[0])
+        max_off = jnp.maximum(jnp.asarray(sizes)[idx] - num_samples, 1)
+        off = jax.random.randint(k2, (batch,), 0, 2**30) % max_off
+
+        arr = jnp.asarray(bg_data)
+
+        def crop(i, o):
+            return jax.lax.dynamic_slice(arr[i], (o,), (num_samples,))
+
+        return np.asarray(jax.vmap(crop)(idx, off))
+
+    want = naive(bank)
+    got_raw = np.asarray(
+        random_background_crop(
+            key, jnp.asarray(bank), jnp.asarray(sizes), num_samples, batch
+        )
+    )
+    padded = pad_background_bank(bank, num_samples)
+    got_pad = np.asarray(
+        random_background_crop(
+            key, jnp.asarray(padded), jnp.asarray(sizes), num_samples, batch
+        )
+    )
+    np.testing.assert_array_equal(got_raw, want)
+    np.testing.assert_array_equal(got_pad, want)
+
+
 def test_add_background_rms_equalized():
     fg = (0.3 * np.sin(2 * np.pi * 440 * np.arange(16000) / 16000))[None].astype(
         np.float32
