@@ -409,8 +409,28 @@ def measure_streaming_rtf(tmp) -> dict:
     )
     # warm: compile featurization + model at the bench batch shape
     calculate_streaming_accuracy(predict, [flags], verbose=False)
+    # timed pass on FRESH audio of the same length: repeating the identical
+    # wav would re-upload the same bytes and re-run the same (executable,
+    # args) — both hit tunnel caches and flatter the number (the round-3
+    # artifact's 216x was partly this; see CLAUDE.md "repeated identical
+    # executions"). A tiny dither keeps shapes (no recompile) but defeats
+    # content/replay caching.
+    rng = np.random.default_rng(11)
+    dithered = np.clip(
+        spec.waveform + rng.uniform(-2e-5, 2e-5, spec.waveform.shape)
+        .astype(np.float32),
+        -1.0, 1.0,
+    )
+    wav2 = tmp / "stream_timed.wav"
+    from multilingual_kws_tpu.utils.wav import write_wav
+
+    write_wav(wav2, dithered)
+    flags2 = StreamFlags(
+        wav=str(wav2), ground_truth=str(labels), target_keyword="target",
+        detection_thresholds=thresholds,
+    )
     t0 = time.perf_counter()
-    calculate_streaming_accuracy(predict, [flags], verbose=False)
+    calculate_streaming_accuracy(predict, [flags2], verbose=False)
     dt = time.perf_counter() - t0
     return {
         "metric": "streaming KWS over long-form audio, 19-threshold sweep (config 5)",
@@ -532,7 +552,13 @@ def measure_pretrain_e2e(tmp, compute_bound: float = 30935) -> dict:
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 49, 40, 1), jnp.float32), train=False
     )
-    BS, STEPS = 512, 12
+    # sync/prefetch stream ~1.3k clips/s — 12 steps is already ~5 s of wall.
+    # Resident modes run 20-90k clips/s: at 12 steps the one-time host
+    # index assembly + device_put + dispatch through the tunnel was ~40% of
+    # a 0.25 s pass (benchmarks/fused_pipeline_decomposition.json), so they
+    # time 48-step epochs (~1 s) — the steady state a real multi-hundred-
+    # step epoch actually runs at.
+    BS, STEPS, RESIDENT_STEPS = 512, 12, 48
     key = jax.device_put(jax.random.PRNGKey(1))
     split_fn = jax.jit(lambda k: tuple(jax.random.split(k)))
 
@@ -606,17 +632,18 @@ def measure_pretrain_e2e(tmp, compute_bound: float = 30935) -> dict:
                     key, sub = split_fn(key)
                     state, _ = step_fn(state, specs, lbl, sub)
 
+        steps = STEPS if mode in ("sync", "prefetch") else RESIDENT_STEPS
         with mesh:
             state = init_fn(meshlib.replicate(mesh, variables))
             # warmup: compile augment+frontend and train step, fill wav cache
             # scanned mode compiles per scan length: warm with the SAME
             # length as the timed pass so timing excludes compilation
-            run_steps(STEPS if mode == "resident_scanned_bf16" else 3)
+            run_steps(steps if mode == "resident_scanned_bf16" else 3)
             jax.block_until_ready(state.params)
             t0 = time.perf_counter()
-            run_steps(STEPS)
+            run_steps(steps)
             jax.block_until_ready(state.params)
-            return BS * STEPS / (time.perf_counter() - t0)
+            return BS * steps / (time.perf_counter() - t0)
 
     sync = run_epoch("sync")
     pref = run_epoch("prefetch")
@@ -654,10 +681,13 @@ def measure_pretrain_e2e(tmp, compute_bound: float = 30935) -> dict:
             100 * med["resident_scanned_bf16"] / compute_bound, 1
         ),
         "note": (
-            "resident numbers are MEDIANS of 3 alternating reps; "
-            "sync/prefetch are SINGLE samples and tunnel load swings them "
-            "+-30%; the settled A/B is benchmarks/prefetch_ab.json "
-            "(5 alternating reps: medians sync 1087 vs prefetch2 1398)"
+            "resident numbers are MEDIANS of 3 alternating reps over "
+            "48-step epochs (steady state; per-epoch dispatch amortized "
+            "as in a real multi-hundred-step epoch — see "
+            "benchmarks/fused_pipeline_decomposition.json); sync/prefetch "
+            "are SINGLE samples and tunnel load swings them +-30%; the "
+            "settled A/B is benchmarks/prefetch_ab.json (5 alternating "
+            "reps: medians sync 1087 vs prefetch2 1398)"
         ),
     }
 
