@@ -32,6 +32,7 @@ from ..ops.augment import (
     pad_background_bank,
     spec_augment,
 )
+from ..ops.pallas_augment import augment_quantize as pallas_augment_quantize
 from ..ops.micro_jax import MicroFrontendJax
 from ..ops.micro_exact import FrontendConfig
 from ..settings import (
@@ -71,13 +72,29 @@ def _augment_featurize(
 
     waveforms arrive as int16 PCM (half the host->device bytes); /32768 in
     f32 is exact, so this matches the read_wav float path bit for bit.
-    """
-    waveforms = waveforms.astype(jnp.float32) * (1.0 / 32768.0)
+
+    On TPU (frontend.use_pallas) the augment+quantize chain runs as one
+    Pallas kernel (ops/pallas_augment.py) feeding the fused frontend
+    kernel: same RNG draws, bit-identical waveform movement, float mix
+    within 1 int16 quantization step of the XLA path (both train input
+    pipelines route here, so resident and streaming stay mutually
+    bit-identical either way)."""
     k_aug, k_spec = jax.random.split(key)
-    wav = augment_waveforms(
-        k_aug, waveforms, is_silence, bg_data, bg_sizes, aug_params
-    )
-    specs = frontend.features(wav)
+    if frontend.use_pallas:
+        quant = pallas_augment_quantize(
+            k_aug, waveforms, is_silence, bg_data, bg_sizes, aug_params
+        )
+        specs = frontend.features_from_int16(quant)
+    else:
+        wav = augment_waveforms(
+            k_aug,
+            waveforms.astype(jnp.float32) * (1.0 / 32768.0),
+            is_silence,
+            bg_data,
+            bg_sizes,
+            aug_params,
+        )
+        specs = frontend.features(wav)
     specs = spec_augment(k_spec, specs, aug_params.spec_aug)
     return specs[..., None]  # add channel dim
 

@@ -83,9 +83,14 @@ def test_pretraining_distribution_parity(corpus):
     chance = 1.0 / (len(corpus["words"]) + 1)
     assert ref_final.mean() > 3 * chance, ref_final
     assert our_final.mean() > 3 * chance, our_final
-    # ...comparably (band set by the multi-seed experiment's measured
-    # spread, tools_dev/pretrain_parity_experiment.py -> PARITY.md)
-    assert abs(ref_final.mean() - our_final.mean()) < 0.3, (
+    # ...comparably. Band from the extended experiment's same-seed pair
+    # deltas (benchmarks/parity_pretrain.json, 8 ref / 6 ours seeds:
+    # ours-ref pairs -0.04, +0.34, +0.03, -0.02, +0.14, +0.03 -> mean
+    # +0.08, sd 0.14; this test replays seed 0, measured pair delta
+    # -0.042): 0.25 ~= mean + 1.2 sd of the pair distribution, tight
+    # enough to catch a gross divergence, loose enough for run-to-run
+    # TF-on-CPU nondeterminism.
+    assert abs(ref_final.mean() - our_final.mean()) < 0.25, (
         ref_final, our_final,
     )
     # the fixture has discriminative power: nobody saturates

@@ -48,8 +48,11 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "collective_call_terminate_timeout" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags
-        + " --xla_cpu_collective_call_terminate_timeout_seconds=600"
-        + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+        # generous: the 1-core host runs TPU probes/test suites concurrently
+        # and a starved participant thread must not kill an hours-long run
+        # (the first extension run died exactly this way at 600 s)
+        + " --xla_cpu_collective_call_terminate_timeout_seconds=14400"
+        + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
     ).strip()
 
 import jax  # noqa: E402
