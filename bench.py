@@ -170,6 +170,66 @@ def preflight_bit_exact_on_chip(n: int = 256) -> bool:
     got_l = np.asarray(frontend.features(jax.device_put(audio_long)))
     want_l = np.stack([to_micro_spectrogram_exact(a) for a in audio_long])
     ok = ok and got_l.shape == want_l.shape and np.array_equal(got_l, want_l)
+    # the Mosaic-compiled AUGMENT kernel too (ADVICE r4): it feeds ALL TPU
+    # training data (data/dataset._augment_featurize routes through it when
+    # frontend.use_pallas) but its parity was only asserted in interpret
+    # mode on CPU — a silent mis-lowering would corrupt every training
+    # batch while throughput benchmarks stayed green. Assert the XLA-path
+    # bound (movement bit-identical; mix arithmetic <=1 int16 step on
+    # <1e-4 of samples) against the REAL compiled kernel.
+    import jax.numpy as jnp
+
+    from multilingual_kws_tpu.ops.augment import (
+        AugmentParams,
+        augment_waveforms,
+        pad_background_bank,
+    )
+    from multilingual_kws_tpu.ops.pallas_augment import augment_quantize
+
+    b_aug = 64
+    fg16 = (
+        (rng.normal(0, 0.15, (b_aug, 16000)) * 32768).clip(-32768, 32767)
+    ).astype(np.int16)
+    is_sil = np.zeros(b_aug, bool)
+    is_sil[::9] = True
+    fg16[is_sil] = 0
+    sizes = np.array([61234, 17000, 16001], np.int32)
+    bank = np.zeros((3, int(sizes.max())), np.float32)
+    for i, sz in enumerate(sizes):
+        bank[i, :sz] = rng.normal(0, 0.1, sz).astype(np.float32)
+    bank = pad_background_bank(bank, 16000)
+    params = AugmentParams()
+    key = jax.random.PRNGKey(20260819)
+    got_a = np.asarray(
+        augment_quantize(
+            key, jax.device_put(fg16), jnp.asarray(is_sil),
+            jnp.asarray(bank), jnp.asarray(sizes), params,
+        )
+    )
+    want_wav = augment_waveforms(
+        key, jnp.asarray(fg16, jnp.float32) / 32768.0, jnp.asarray(is_sil),
+        jnp.asarray(bank), jnp.asarray(sizes), params,
+    )
+    want_a = np.asarray(
+        jnp.clip(jnp.trunc(want_wav * 32768.0), -32768.0, 32767.0).astype(
+            jnp.int32
+        )
+    )
+    aug_ok = (
+        got_a.shape == want_a.shape
+        and np.abs(got_a - want_a).max() <= 1
+        and (got_a != want_a).mean() < 1e-4
+    )
+    if not aug_ok:
+        nbad = (
+            int((got_a != want_a).sum()) if got_a.shape == want_a.shape else -1
+        )
+        print(
+            f"# AUGMENT-KERNEL PREFLIGHT FAILED: {nbad} samples beyond the "
+            f"1-step/<1e-4 bound (backend={jax.default_backend()})",
+            file=sys.stderr,
+        )
+    ok = ok and aug_ok
     if not ok:
         bad = int((got != want).sum()) if got.shape == want.shape else -1
         print(
@@ -675,6 +735,15 @@ def measure_pretrain_e2e(tmp, compute_bound: float = 30935) -> dict:
         ),
         "resident_reps_clips_per_sec": {
             m: [round(v, 0) for v in reps[m]] for m in resident_modes
+        },
+        # per-mode timed step counts: resident modes time longer epochs
+        # than the streaming modes (different fixed-dispatch amortization
+        # regimes) — recorded so artifact diffs across rounds are
+        # self-describing (ADVICE r4)
+        "steps_timed": {
+            "stream_sync": STEPS,
+            "stream_prefetch2": STEPS,
+            **{m: RESIDENT_STEPS for m in resident_modes},
         },
         "unit": "clips/sec",
         "pct_of_train_step_bound": round(

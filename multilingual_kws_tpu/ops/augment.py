@@ -95,7 +95,10 @@ def pad_background_bank(bg_data: np.ndarray, num_samples: int = 16000):
     ceil((num_samples + BG_BLK - 1)/BG_BLK) whole blocks."""
     nblk_win = -(-(num_samples + BG_BLK - 1) // BG_BLK)
     max_len = bg_data.shape[1]
-    need = ((max_len - num_samples) // BG_BLK + nblk_win) * BG_BLK
+    # max(0, ...): a bank whose longest clip is shorter than num_samples
+    # must not under-size the blocked view (the row gather would silently
+    # read a neighboring clip's blocks via JAX's clamped OOB gather)
+    need = (max(0, max_len - num_samples) // BG_BLK + nblk_win) * BG_BLK
     if need > max_len:
         pad = np.zeros((bg_data.shape[0], need - max_len), bg_data.dtype)
         bg_data = np.concatenate([bg_data, pad], axis=1)
@@ -122,8 +125,8 @@ def random_background_crop(
 
     nblk_win = -(-(num_samples + BG_BLK - 1) // BG_BLK)
     n_bg, max_len = bg_data.shape
-    # widest block window starts at floor((max_len - num_samples)/BG_BLK)
-    need = ((max_len - num_samples) // BG_BLK + nblk_win) * BG_BLK
+    # widest block window starts at floor(max(0, max_len - num_samples)/BG_BLK)
+    need = (max(0, max_len - num_samples) // BG_BLK + nblk_win) * BG_BLK
     if need > max_len:  # bank not pre-padded (see pad_background_bank)
         bg_data = jnp.pad(bg_data, ((0, 0), (0, need - max_len)))
     nblk_tot = bg_data.shape[1] // BG_BLK

@@ -119,24 +119,9 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def augment_quantize(
-    key,
-    audio_int16: jnp.ndarray,  # (B, T) int16/int32 PCM (silence rows zero)
-    is_silence: jnp.ndarray,  # (B,) bool
-    bg_data: jnp.ndarray,  # (n_bg, L) f32 padded bank (pad_background_bank)
-    bg_sizes: jnp.ndarray,  # (n_bg,) int32
-    params: AugmentParams = AugmentParams(),
-    *,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """augment_waveforms + float->int16 quantization, Pallas TPU fast path.
-
-    Returns (B, T) int32 int16-range audio — feed to
-    MicroFrontendJax.features_from_int16. Consumes the key with exactly
-    augment_waveforms' splits; waveform movement (shift/crop) is
-    bit-identical to the XLA path, float mix arithmetic is ulp-equivalent.
-    """
-    b, t = audio_int16.shape
+def draw_augment_params(key, b, t, n_bg, bg_sizes, params: AugmentParams):
+    """All RNG draws, with exactly augment_waveforms' key splits
+    (ops/augment.py:156-174). Returns (shifts, idx, off, sil_vol, volume)."""
     k_shift, k_bg, k_vol_sil, k_mix, k_vol_mix = jax.random.split(key, 5)
 
     max_shift = int(params.time_shift_samples)
@@ -147,7 +132,7 @@ def augment_quantize(
 
     # background draw, exactly ops/augment.random_background_crop
     k1, k2 = jax.random.split(k_bg)
-    idx = jax.random.randint(k1, (b,), 0, bg_data.shape[0])
+    idx = jax.random.randint(k1, (b,), 0, n_bg)
     max_off = jnp.maximum(bg_sizes[idx] - t, 1)
     off = jax.random.randint(k2, (b,), 0, 2**30) % max_off
 
@@ -157,19 +142,28 @@ def augment_quantize(
         k_vol_mix, (b,), minval=0.0, maxval=params.background_volume_range
     )
     volume = jnp.where(do_mix, mix_vol, 0.0)
+    return shifts, idx, off, sil_vol, volume
 
-    # coarse background window: whole BG_BLK-sample block rows (fast
-    # major-dim gather); the kernel applies the sub-block offset
+
+def gather_bg_window(bg_data, idx, off, t):
+    """Coarse background window: whole BG_BLK-sample block rows (fast
+    major-dim gather); the kernel applies the sub-block offset. Returns
+    (B, nwin*BG_BLK) rows starting at block floor(off/BG_BLK)."""
+    b = idx.shape[0]
     nwin = -(-(t + BG_BLK - 1) // BG_BLK)
     n_bg, max_len = bg_data.shape
-    need = ((max_len - t) // BG_BLK + nwin) * BG_BLK
+    need = (max(0, max_len - t) // BG_BLK + nwin) * BG_BLK
     if need > max_len:  # bank not pre-padded (see pad_background_bank)
         bg_data = jnp.pad(bg_data, ((0, 0), (0, need - max_len)))
     nblk_tot = bg_data.shape[1] // BG_BLK
     flat = bg_data[:, : nblk_tot * BG_BLK].reshape(n_bg * nblk_tot, BG_BLK)
     rows = flat[(idx * nblk_tot + off // BG_BLK)[:, None] + jnp.arange(nwin)]
-    bgw = rows.reshape(b, nwin * BG_BLK)
+    return rows.reshape(b, nwin * BG_BLK)
 
+
+def pack_scalar_rows(shifts, off, sil_vol, volume, is_silence, max_shift):
+    """Per-clip scalars as two (B, 8) kernel-input rows (si, sf)."""
+    b = shifts.shape[0]
     si = jnp.stack(
         [shifts + max_shift, (off % BG_BLK).astype(jnp.int32)]
         + [jnp.zeros((b,), jnp.int32)] * 6,
@@ -180,18 +174,23 @@ def augment_quantize(
         + [jnp.zeros((b,), jnp.float32)] * 5,
         axis=1,
     )
+    return si, sf
 
+
+def augment_kernel_call(fg, bgw, si, sf, *, max_shift, interpret=False):
+    """The bare pallas_call on pre-assembled inputs (fg (B, T) int32,
+    bgw (B, W) f32, si/sf (B, 8)). Pads B to the tile multiple."""
+    b, t = fg.shape
     cb = CLIPS_PER_TILE
     bp = _round_up(b, cb)
     pad = bp - b
-    fg = audio_int16.astype(jnp.int32)
     if pad:
         fg = jnp.pad(fg, ((0, pad), (0, 0)))
         bgw = jnp.pad(bgw, ((0, pad), (0, 0)))
         si = jnp.pad(si, ((0, pad), (0, 0)))
         sf = jnp.pad(sf, ((0, pad), (0, 0)))
 
-    bg_width = nwin * BG_BLK
+    bg_width = bgw.shape[1]
     out = pl.pallas_call(
         functools.partial(
             _augment_quantize_kernel, t=t, max_shift=max_shift
@@ -212,3 +211,34 @@ def augment_quantize(
         interpret=interpret,
     )(fg, bgw, si, sf)
     return out[:b]
+
+
+def augment_quantize(
+    key,
+    audio_int16: jnp.ndarray,  # (B, T) int16/int32 PCM (silence rows zero)
+    is_silence: jnp.ndarray,  # (B,) bool
+    bg_data: jnp.ndarray,  # (n_bg, L) f32 padded bank (pad_background_bank)
+    bg_sizes: jnp.ndarray,  # (n_bg,) int32
+    params: AugmentParams = AugmentParams(),
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """augment_waveforms + float->int16 quantization, Pallas TPU fast path.
+
+    Returns (B, T) int32 int16-range audio — feed to
+    MicroFrontendJax.features_from_int16. Consumes the key with exactly
+    augment_waveforms' splits; waveform movement (shift/crop) is
+    bit-identical to the XLA path, float mix arithmetic is ulp-equivalent.
+    """
+    b, t = audio_int16.shape
+    max_shift = int(params.time_shift_samples)
+    shifts, idx, off, sil_vol, volume = draw_augment_params(
+        key, b, t, bg_data.shape[0], bg_sizes, params
+    )
+    bgw = gather_bg_window(bg_data, idx, off, t)
+    si, sf = pack_scalar_rows(shifts, off, sil_vol, volume, is_silence,
+                              max_shift)
+    fg = audio_int16.astype(jnp.int32)
+    return augment_kernel_call(
+        fg, bgw, si, sf, max_shift=max_shift, interpret=interpret
+    )

@@ -141,16 +141,10 @@ def test_dataset_routes_pallas_augment(monkeypatch, tmp_path):
 
     monkeypatch.setattr(dsmod, "pallas_augment_quantize", spy)
 
-    fe_pallas = MicroFrontendJax(FrontendConfig(), use_pallas=False)
-    fe_pallas.use_pallas = True  # route augment only; frontend stays XLA
-    # defeat the use_pallas frontend gate inside features_from_int16 by
-    # keeping clips at CPU: mode is exact but backend is CPU, so the gate
-    # in _raw_features_int still sees use_pallas=True -> force interpret
-    # not available there; instead call with a frontend whose use_pallas
-    # flips back before featurization.
-    got = None
-    want = None
-
+    # RoutingFrontend: use_pallas=True so _augment_featurize takes the
+    # kernel route (the spy forces interpret on CPU), while featurization
+    # itself delegates to a plain XLA frontend — the augment routing is
+    # what's under test, not the frontend kernel.
     class RoutingFrontend:
         use_pallas = True
 
