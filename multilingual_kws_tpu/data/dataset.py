@@ -379,16 +379,29 @@ class AudioDataset:
         THE single definition of the silence convention: silence slots
         point at bank row 0 and are zeroed on device by the is_silence
         mask (every resident consumer — train_batches_resident, the fused
-        pretrain step, the fine-tune epoch scan — goes through here)."""
+        pretrain step, the fine-tune epoch scan — goes through here).
+
+        Pure array work: file->row maps are built once, so a step costs a
+        few numpy gathers instead of a per-item dict walk."""
         row = bank["index"]
-        for paths, lbl, sil in self.host_train_paths(
-            files, batch_size, num_steps, labels=labels,
-            single_target=single_target,
+        files = list(files)
+        rows_files = np.array([row[p] for p in files], dtype=np.int32)
+        p_unk = (
+            self.unknown_percentage / 100.0 if self.unknown_files else 0.0
+        )
+        rows_unknown = (
+            np.array([row[p] for p in self.unknown_files], dtype=np.int32)
+            if p_unk > 0
+            else np.zeros(1, np.int32)
+        )
+        for fidx, is_sil, is_unk, unk_pick, lbl in self._host_train_draw(
+            files, batch_size, num_steps, labels=labels
         ):
-            idx = np.array(
-                [0 if p is None else row[p] for p in paths], dtype=np.int32
-            )
-            yield idx, lbl, sil
+            idx = rows_files[fidx]
+            if p_unk > 0:
+                idx = np.where(is_unk, rows_unknown[unk_pick], idx)
+            idx = np.where(is_sil, np.int32(0), idx).astype(np.int32)
+            yield idx, lbl, is_sil
 
     def train_batches_resident(
         self,
@@ -449,49 +462,90 @@ class AudioDataset:
     ) -> Iterator[Tuple[List[Optional[str]], np.ndarray, np.ndarray]]:
         """The batch DRAW without the data: yields
         (clip paths — None for silence, label_ids, is_silence) per step,
-        with the reference's sequential silence/unknown substitution.
+        with the reference's silence/unknown substitution.
         host_train_batches loads the paths; train_batches_resident maps
         them to device-bank rows instead (no per-step audio upload)."""
         files = list(files)
+        unk = self.unknown_files
+        for fidx, is_sil, is_unk, unk_pick, lbl in self._host_train_draw(
+            files, batch_size, num_steps, labels=labels
+        ):
+            paths: List[Optional[str]] = [
+                None if s else (unk[u] if k else files[f])
+                for s, k, u, f in zip(
+                    is_sil.tolist(), is_unk.tolist(),
+                    unk_pick.tolist(), fidx.tolist(),
+                )
+            ]
+            yield paths, lbl, is_sil
+
+    def _host_train_draw(
+        self,
+        files: Sequence[str],
+        batch_size: int,
+        num_steps: int,
+        labels: Optional[Sequence[str]] = None,
+    ) -> Iterator[
+        Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]
+    ]:
+        """Vectorized batch draw shared by host_train_paths (streaming)
+        and host_train_indices (resident) — the two input pipelines stay
+        mutually bit-identical because this is the ONE consumer of
+        host_rng for training draws. Yields per step:
+        (fidx (B,) index into files, is_silence (B,), is_unknown (B,),
+         unk_pick (B,) index into unknown_files where is_unknown,
+         label_ids (B,) int32).
+
+        Semantics match the reference's per-slot substitution
+        (input_data.py:284-298): each slot consumes the next file from a
+        reshuffled permutation (the cursor advances even for substituted
+        slots), then becomes silence w.p. p_sil, else unknown w.p. p_unk.
+        One numpy call per draw kind per STEP — the old per-ITEM scalar
+        RNG loop cost ~2.3 ms/step at bs 512 on the 1-core host
+        (benchmarks/fused_pipeline_decomposition.json), serializing with
+        the device epoch and holding the scanned e2e to ~50% of its step
+        bound."""
+        nf = len(files)
         if labels is None:
-            label_ids = np.full(len(files), len(self.commands) - 1, dtype=np.int32)
+            label_ids = np.full(nf, len(self.commands) - 1, dtype=np.int32)
         else:
             label_ids = np.array(
                 [self.label_to_id[l] for l in labels], dtype=np.int32
             )
-
-        n = self.model_settings.desired_samples
         sil_id = self.label_to_id.get(SILENCE_LABEL, -1)
         unk_id = self.label_to_id.get(UNKNOWN_WORD_LABEL, -1)
         p_sil = self.silence_percentage / 100.0
         p_unk = self.unknown_percentage / 100.0 if self.unknown_files else 0.0
 
-        order = self.host_rng.permutation(len(files))
+        order = self.host_rng.permutation(nf)
         cursor = 0
         for _ in range(num_steps):
-            batch_paths: List[Optional[str]] = [None] * batch_size
-            batch_lbl = np.zeros(batch_size, dtype=np.int32)
-            batch_sil = np.zeros(batch_size, dtype=bool)
-            for i in range(batch_size):
-                if cursor >= len(order):
-                    order = self.host_rng.permutation(len(files))
+            chunks = []
+            need = batch_size
+            while need:
+                if cursor >= nf:
+                    order = self.host_rng.permutation(nf)
                     cursor = 0
-                fidx = order[cursor]
-                cursor += 1
-                # sequential substitution probs, reference augment()
-                # (input_data.py:284-298)
-                if self.host_rng.uniform() < p_sil:
-                    batch_sil[i] = True
-                    batch_lbl[i] = sil_id
-                elif p_unk > 0 and self.host_rng.uniform() < p_unk:
-                    batch_paths[i] = self.unknown_files[
-                        self.host_rng.integers(len(self.unknown_files))
-                    ]
-                    batch_lbl[i] = unk_id
-                else:
-                    batch_paths[i] = files[fidx]
-                    batch_lbl[i] = label_ids[fidx]
-            yield batch_paths, batch_lbl, batch_sil
+                m = min(need, nf - cursor)
+                chunks.append(order[cursor : cursor + m])
+                cursor += m
+                need -= m
+            fidx = chunks[0] if len(chunks) == 1 else np.concatenate(chunks)
+            is_sil = self.host_rng.uniform(size=batch_size) < p_sil
+            if p_unk > 0:
+                is_unk = ~is_sil & (
+                    self.host_rng.uniform(size=batch_size) < p_unk
+                )
+                unk_pick = self.host_rng.integers(
+                    len(self.unknown_files), size=batch_size
+                )
+            else:
+                is_unk = np.zeros(batch_size, dtype=bool)
+                unk_pick = np.zeros(batch_size, dtype=np.int64)
+            lbl = label_ids[fidx].copy()
+            lbl[is_sil] = sil_id
+            lbl[is_unk] = unk_id
+            yield fidx, is_sil, is_unk, unk_pick, lbl
 
     def eval_batches(
         self,

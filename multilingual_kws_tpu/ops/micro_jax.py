@@ -746,3 +746,15 @@ class MicroFrontendJax:
 @functools.lru_cache(maxsize=4)
 def default_frontend(quantize: bool = True) -> MicroFrontendJax:
     return MicroFrontendJax(FrontendConfig(), quantize=quantize)
+
+
+@functools.lru_cache(maxsize=4)
+def cached_stream_frontend(sample_rate: int = 16000) -> MicroFrontendJax:
+    """Process-cached frontend for streaming callers. The jitted stream
+    program is cached PER INSTANCE (self._stream_jit); constructing a fresh
+    MicroFrontendJax per stream re-traces the whole multi-thousand-window
+    program and re-fetches its executable through the tunnel — measured
+    ~9 s of the old 10 s config-5 wall (benchmarks/
+    stream_cost_decomposition.json). Reusing one instance keeps repeat
+    streams of the same shape at device speed."""
+    return MicroFrontendJax(FrontendConfig(sample_rate=sample_rate))

@@ -81,8 +81,15 @@ def stream_feature_chunks(
     range(0, len(audio) - clip_samples, stride_samples). Keeping the
     windows on device matters: at 20 ms hop a window batch is ~400 KB of
     features per second of audio, and pulling it to host only to push it
-    back for the model predict doubles a multi-hundred-MB transfer."""
-    frontend = frontend or MicroFrontendJax(FrontendConfig(sample_rate=sample_rate))
+    back for the model predict doubles a multi-hundred-MB transfer.
+
+    The default frontend is process-cached (cached_stream_frontend): a
+    fresh instance per stream would re-trace the whole stream program per
+    call (~9 s on a 10-min stream, the dominant cost of the old engine —
+    benchmarks/stream_cost_decomposition.json)."""
+    from ..ops.micro_jax import cached_stream_frontend
+
+    frontend = frontend or cached_stream_frontend(int(sample_rate))
     clip_samples = int(flags.clip_duration_ms * sample_rate / 1000)
     stride_samples = int(flags.clip_stride_ms * sample_rate / 1000)
     audio_data_end = audio.shape[0] - clip_samples
@@ -158,11 +165,18 @@ def calculate_streaming_accuracy(
         ):
             for i in range(0, wdev.shape[0], batch_size):
                 preds.append(predict_fn(wdev[i : i + batch_size][..., None]))
-        inferences = (
-            np.concatenate([np.asarray(p) for p in preds], axis=0)
-            if preds
-            else np.zeros((0, 3), np.float32)
-        )
+        import jax
+        import jax.numpy as jnp
+
+        if preds and all(isinstance(p, jax.Array) for p in preds):
+            # one device-side concat + ONE host pull: per-batch np.asarray
+            # paid a ~36 ms tunnel round trip per batch (~0.5 s over a
+            # 10-min stream)
+            inferences = np.asarray(jnp.concatenate(preds, axis=0))
+        elif preds:
+            inferences = np.concatenate([np.asarray(p) for p in preds], axis=0)
+        else:
+            inferences = np.zeros((0, 3), np.float32)
 
     times_ms = np.array(
         [

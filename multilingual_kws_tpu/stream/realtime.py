@@ -69,10 +69,9 @@ class RealtimeDetector:
 
                 frontend = NativeMicroFrontend()
             except Exception:  # no toolchain: JAX fallback
-                from ..ops.micro_exact import FrontendConfig
-                from ..ops.micro_jax import MicroFrontendJax
+                from ..ops.micro_jax import default_frontend
 
-                frontend = MicroFrontendJax(FrontendConfig())
+                frontend = default_frontend()
         self.frontend = frontend
 
         self.recognizer = SingleTargetRecognizeCommands(

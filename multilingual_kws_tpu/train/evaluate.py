@@ -49,7 +49,11 @@ def featurize_files(
             else np.zeros((0, 49, 40), np.float32)
         )
 
-    frontend = frontend or MicroFrontendJax(FrontendConfig())
+    # process-cached: a fresh instance would re-trace its jitted programs
+    # on every call (see ops/micro_jax.cached_stream_frontend)
+    from ..ops.micro_jax import default_frontend
+
+    frontend = frontend or default_frontend()
     out = []
     for i in range(0, len(files), batch_size):
         chunk = files[i : i + batch_size]

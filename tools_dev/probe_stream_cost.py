@@ -228,11 +228,37 @@ def main():
     results["full_s"] = round(full_s, 3)
     results["real_time_factor"] = round(audio_s / full_s, 1)
 
+    # ---- the old engine's dominant cost, kept measured: a FRESH frontend
+    # instance re-traces the whole stream program and re-fetches its
+    # executable per call (engine.py used to construct one per stream —
+    # that was ~9 s of the old 10 s wall; now cached_stream_frontend)
+    audio5 = fresh_audio()
+    wav5 = tmp / "stream_timed2.wav"
+    write_wav(wav5, audio5)
+    flags5 = StreamFlags(
+        wav=str(wav5), ground_truth=str(labels), target_keyword="target",
+        detection_thresholds=thresholds,
+    )
+    from multilingual_kws_tpu.ops.micro_exact import FrontendConfig as _FC
+    from multilingual_kws_tpu.ops.micro_jax import MicroFrontendJax as _FE
+
+    t0 = time.perf_counter()
+    calculate_streaming_accuracy(
+        predict, [flags5], verbose=False, frontend=_FE(_FC(sample_rate=16000))
+    )
+    results["full_fresh_frontend_s"] = round(time.perf_counter() - t0, 3)
+    results["retrace_overhead_s"] = round(
+        results["full_fresh_frontend_s"] - full_s, 3
+    )
+
     results["note"] = (
         "one v5e via tunnel, fresh-dithered audio per timed stage (no "
         "content/replay cache); stream_features = base_frames + window "
-        "gather + NR/PCAN/log suffix; predict_sync is the shipped "
-        "per-batch np.asarray loop, predict_async defers the sync"
+        "gather + NR/PCAN/log suffix; predict_sync is the per-batch "
+        "np.asarray loop (engine now concats on device, one pull), "
+        "predict_async defers the sync; full_fresh_frontend_s replays the "
+        "pre-fix engine (fresh frontend instance per stream => re-trace + "
+        "executable re-fetch per call)"
     )
     dest = REPO / "benchmarks" / "stream_cost_decomposition.json"
     dest.write_text(json.dumps(results, indent=1))
