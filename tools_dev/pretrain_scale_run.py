@@ -49,6 +49,17 @@ VAL_PER_WORD = 20
 TOTAL_EPOCHS = 24
 PHASE_A_EPOCHS = 8  # kill partway through epoch PHASE_A_EPOCHS+1
 
+# Corpus difficulty (VERDICT r4 missing #1): the round-4 run topped out at
+# val 1.0 — mechanics proven, training quality not. These knobs create
+# IRREDUCIBLE class overlap so the curve is informative: at pitch_var 0.18
+# adjacent phoneme bands genuinely overlap (e [1886,2714] Hz vs
+# f [2460,3540] — ~30% of e clips land inside f's band), dur_var 0.35
+# overlaps the duration cue too, and noise 0.05 is 4x the round-4 floor.
+# Reference anchor: MSWC 761-way val 0.8011 (docker/Dockerfile:83-84).
+CLIP_NOISE = 0.05
+CLIP_PITCH_VAR = 0.18
+CLIP_DUR_VAR = 0.35
+
 
 def make_words(n):
     """n distinct 4-phoneme words over the a..f inventory, deterministic,
@@ -64,10 +75,17 @@ def build_corpus():
     from multilingual_kws_tpu.utils.wav import write_wav  # noqa: E402
 
     words = make_words(N_WORDS)
+    difficulty = dict(
+        noise=CLIP_NOISE, pitch_var=CLIP_PITCH_VAR, dur_var=CLIP_DUR_VAR
+    )
     manifest = CORPUS / "MANIFEST.json"
     if manifest.exists():
         m = json.loads(manifest.read_text())
-        if m["words"] == words and m["train_per_word"] == TRAIN_PER_WORD:
+        if (
+            m["words"] == words
+            and m["train_per_word"] == TRAIN_PER_WORD
+            and m.get("difficulty") == difficulty
+        ):
             print(f"corpus already built at {CORPUS}", flush=True)
             return m
     t0 = time.time()
@@ -81,8 +99,9 @@ def build_corpus():
                 write_wav(
                     p,
                     hard_word_clip(
-                        w, seed=zlib.crc32(f"scale/{w}/{i}".encode()),
-                        noise=0.012,
+                        w, seed=zlib.crc32(f"scale2/{w}/{i}".encode()),
+                        noise=CLIP_NOISE, pitch_var=CLIP_PITCH_VAR,
+                        dur_var=CLIP_DUR_VAR,
                     ),
                 )
             (train_files if i < TRAIN_PER_WORD else val_files).append(str(p))
@@ -103,6 +122,7 @@ def build_corpus():
         val_per_word=VAL_PER_WORD,
         n_train=len(train_files),
         n_val=len(val_files),
+        difficulty=difficulty,
         build_seconds=round(time.time() - t0, 1),
     )
     manifest.write_text(json.dumps(m))
@@ -217,6 +237,7 @@ def main():
             words=N_WORDS,
             train_clips=n_train,
             val_clips=corpus["n_val"],
+            corpus_difficulty=corpus.get("difficulty"),
             bank_bytes_int16=n_train * 16000 * 2,
             batch_size=64,
             compute_dtype="bfloat16",
