@@ -503,55 +503,112 @@ def measure_streaming_rtf(tmp) -> dict:
 
 def measure_pretrain_step() -> dict:
     """The pure train-step compute bound: fwd+bwd+adam+BN at bs 512 on
-    pre-featurized specs, no input pipeline. Timing is inherently chained
-    (each step consumes the previous step's state, so executions genuinely
-    serialize — the same property bench._chained_time enforces for
-    stateless graphs); iteration count scaled to >= 2 s of wall."""
+    pre-featurized specs, no input pipeline, timed as a lax.scan over the
+    step with the state carried — the shipped regime (scan_epoch default)
+    and the only timing the tunnel can't flatter: a per-dispatch chained
+    loop of the same executable measured 1.57 ms/step bf16 on a day the
+    scanned steady state measured 5.4 ms (the round-3 replay-cache
+    pathology, CLAUDE.md), so per-dispatch numbers are not used here.
+    Medians of 3 reps of a 96-step scan."""
+    import functools
+
     import jax
     import jax.numpy as jnp
 
     from multilingual_kws_tpu.models.kws_model import make_embedding_model
     from multilingual_kws_tpu.parallel import mesh as meshlib
-    from multilingual_kws_tpu.train.pretrain import build_pretrain_step
-    from multilingual_kws_tpu.train.steps import flat_adam as adam
+    from multilingual_kws_tpu.train.pretrain import TrainState
+    from multilingual_kws_tpu.train.steps import (
+        flat_adam as adam,
+        sparse_ce_from_logits,
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     mesh = meshlib.make_mesh()
-    BS = 512
+    repl = NamedSharding(mesh, P())
+    BS, N_SCAN, REPS = 512, 96, 3
     rng = np.random.default_rng(0)
     specs = rng.normal(0, 2, (BS, 49, 40, 1)).astype(np.float32)
     labels = rng.integers(0, 761, (BS,)).astype(np.int32)
     out = {
         "metric": "761-way EfficientNetB0 pretrain step "
-        "(bs 512, fwd+bwd+adam+BN, state-chained)",
+        "(bs 512, fwd+bwd+adam+BN, scanned state-carried steady state)",
         "unit": "ms/step",
     }
     for name, dtype in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
         model = make_embedding_model(num_labels=761, dtype=dtype)
         tx = adam(1e-3)
-        init_fn, step_fn, _ = build_pretrain_step(model, tx, mesh)
         variables = model.init(
             jax.random.PRNGKey(0), jnp.zeros((1, 49, 40, 1), jnp.float32),
             train=False,
         )
+
+        def loss_fn(params, batch_stats, sp, lb, sub):
+            logits, mutated = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                sp, train=True, mutable=["batch_stats"],
+                rngs={"dropout": sub},
+            )
+            return (
+                sparse_ce_from_logits(logits, lb).mean(),
+                mutated["batch_stats"],
+            )
+
+        @functools.partial(jax.jit, donate_argnums=0, static_argnums=3)
+        def scan_steps(state, sp, lb, n, rkey):
+            def body(carry, _):
+                st, rk = carry
+                rks = jax.random.split(rk)
+                rk, sub = rks[0], rks[1]
+                (loss, new_stats), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(st.params, st.batch_stats, sp, lb, sub)
+                updates, opt_state = tx.update(
+                    grads, st.opt_state, st.params
+                )
+                params = jax.tree_util.tree_map(
+                    lambda p, u: p + u, st.params, updates
+                )
+                nst = TrainState(params, opt_state, new_stats, st.step + 1)
+                return (nst, rk), loss
+            (state, _), losses = jax.lax.scan(
+                body, (state, rkey), None, length=n
+            )
+            state = jax.lax.with_sharding_constraint(
+                state, jax.tree_util.tree_map(lambda _: repl, state)
+            )
+            return state, losses
+
+        variables_np = jax.tree_util.tree_map(np.asarray, variables)
+
+        def fresh_state():
+            fresh = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, repl), variables_np
+            )
+            params = fresh["params"]
+            return TrainState(
+                params=params, opt_state=tx.init(params),
+                batch_stats=fresh["batch_stats"],
+                step=jnp.zeros((), jnp.int32),
+            )
+
         with mesh:
-            state = init_fn(meshlib.replicate(mesh, variables))
             sp = meshlib.shard_batch(mesh, specs)
             lb = meshlib.shard_batch(mesh, labels)
-            key = jax.device_put(jax.random.PRNGKey(1))
-            split_fn = jax.jit(lambda k: tuple(jax.random.split(k)))
-
-            def run(steps):
-                nonlocal state, key
+            times = []
+            state = fresh_state()
+            state, losses = scan_steps(
+                state, sp, lb, N_SCAN, jax.random.PRNGKey(1)
+            )  # compile + warm at the timed length
+            jax.block_until_ready(losses)
+            for rep in range(REPS):
                 t0 = time.perf_counter()
-                for _ in range(steps):
-                    key, sub = split_fn(key)
-                    state, _ = step_fn(state, sp, lb, sub)
-                jax.block_until_ready(state.params)
-                return (time.perf_counter() - t0) / steps
-
-            run(3)  # compile + warm
-            est = run(4)
-            sec = run(max(12, int(2.0 / max(est, 1e-4))))
+                state, losses = scan_steps(
+                    state, sp, lb, N_SCAN, jax.random.PRNGKey(2 + rep)
+                )
+                jax.block_until_ready(losses)
+                times.append((time.perf_counter() - t0) / N_SCAN)
+        sec = float(np.median(times))
         out[f"{name}_ms_per_step"] = round(sec * 1e3, 2)
         out[f"{name}_clips_per_sec"] = round(BS / sec, 0)
     return out

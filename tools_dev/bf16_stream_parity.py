@@ -106,14 +106,18 @@ def main():
     )
     print(f"transfer_learn done in {time.time()-t0:.0f}s", flush=True)
 
-    # ---- stream with known label times ----
+    # ---- stream with known label times: config-5 scale (VERDICT r4 #7 —
+    # the round-4 evidence was one 23 s stream / 1,122 windows; this is
+    # ~600 s / ~30k windows so the threshold-adjacent sensitivity gets
+    # statistical weight)
     targets = [clip(TARGET, 100 + i) for i in range(8)]
     distractors = [clip("abcd", 200 + i) for i in range(4)] + [
         clip("feca", 300 + i) for i in range(4)
     ]
     spec = synthesize_stream(
         TARGET, targets, distractors,
-        num_targets=8, num_distractors=8, seed=11, noise_rms=0.003,
+        num_targets=120, num_distractors=280, gap_ms_range=(200, 900),
+        seed=11, noise_rms=0.003,
     )
     wav_path = work / "stream.wav"
     labels_path = work / "labels.txt"
@@ -158,7 +162,13 @@ def main():
     # ---- compare ----
     inf_f32 = runs["float32"]["inferences"]
     inf_bf16 = runs["bfloat16"]["inferences"]
-    max_dp = float(np.abs(inf_f32 - inf_bf16).max())
+    dp = np.abs(inf_f32 - inf_bf16)
+    max_dp = float(dp.max())
+    dp_target = dp[:, 2]  # the detector thresholds the target column
+    dp_pct = {
+        f"p{q}": float(np.percentile(dp_target, q))
+        for q in (50, 90, 99, 99.9)
+    }
     per_thresh = {}
     identical = 0
     for th in THRESHOLDS:
@@ -166,12 +176,20 @@ def main():
         f_bf16, _ = runs["bfloat16"]["results"][th]
         same = f_f32 == f_bf16
         identical += bool(same)
+        # detection agreement at 750 ms tolerance even when not identical:
+        # count detections of one side with a same-side match on the other
+        t_a = [t for _, t in f_f32]
+        t_b = [t for _, t in f_bf16]
+        matched = sum(
+            1 for ta in t_a if any(abs(ta - tb) <= 750 for tb in t_b)
+        )
         per_thresh[str(th)] = dict(
             identical=bool(same),
             detections_f32=len(f_f32),
             detections_bf16=len(f_bf16),
+            matched_within_750ms=matched,
         )
-        if not same:
+        if not same and len(f_f32) <= 20 and len(f_bf16) <= 20:
             per_thresh[str(th)]["f32"] = [list(x) for x in f_f32]
             per_thresh[str(th)]["bf16"] = [list(x) for x in f_bf16]
 
@@ -196,6 +214,7 @@ def main():
         thresholds=THRESHOLDS,
         thresholds_with_identical_detections=identical,
         max_abs_softmax_delta=max_dp,
+        target_prob_delta_percentiles=dp_pct,
         detector_at_0p9=dict(
             f32=score(runs["float32"]["results"][0.9][0], 0.9),
             bf16=score(runs["bfloat16"]["results"][0.9][0], 0.9),
@@ -206,7 +225,7 @@ def main():
     DEST.write_text(json.dumps(out, indent=1))
     print(json.dumps({k: out[k] for k in (
         "thresholds_with_identical_detections", "max_abs_softmax_delta",
-        "detector_at_0p9")}, indent=1))
+        "target_prob_delta_percentiles", "detector_at_0p9")}, indent=1))
 
 
 if __name__ == "__main__":
