@@ -114,6 +114,8 @@ def test_int16_cast_edge(frontends):
     np.testing.assert_array_equal(got[0], want)
 
 
+@pytest.mark.slow  # re-tiered r5: fast suite back under ~4 min (CLAUDE.md)
+# 11 s; test_random_audio_bit_exact/test_batch_features_bit_exact stay fast
 def test_multisecond_clips_bit_exact(frontends):
     """features() on non-1-second audio (verify session 2026-08-17 found a
     3-s clip failing Mosaic compile: the tile chose cb=2, whose framing roll

@@ -193,6 +193,9 @@ def test_frr_fa_view():
     assert v["false_accepts_per_sec"] == [0.01, 0.0]
 
 
+@pytest.mark.slow  # re-tiered r5: fast suite back under ~4 min (CLAUDE.md)
+# 78 s: full-model bf16-vs-f32 sweep; test_bf16_inference_contract
+# stays fast as the bf16 smoke
 def test_bf16_compute_dtype_matches_f32_closely():
     """Mixed precision: dtype=bf16 models share the f32 param tree and
     produce logits close to the f32 path (params, BN stats, embedding and

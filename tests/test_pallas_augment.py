@@ -2,6 +2,7 @@
 augment path (ops/augment.augment_waveforms + quantize)."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -91,6 +92,8 @@ def test_kernel_no_timeshift_and_odd_batch():
     assert (got != want).mean() < 1e-4
 
 
+@pytest.mark.slow  # re-tiered r5: fast suite back under ~4 min (CLAUDE.md)
+# 11 s edge case; test_kernel_matches_xla_augment_interpret stays fast
 def test_kernel_unpadded_bank():
     """A bank narrower than the blocked-window requirement takes the
     in-call pad branch and still crops exactly."""

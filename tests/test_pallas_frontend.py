@@ -105,6 +105,9 @@ def test_u32_frontend_features_with_pallas_interpret(monkeypatch):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow  # re-tiered r5: fast suite back under ~4 min (CLAUDE.md)
+# 36 s interpret-mode full kernel; test_kernel_matches_lax_scan_interpret
+# and test_u32_kernel_matches_exact_pipeline_interpret stay fast
 def test_clip_frontend_full_kernel_bit_exact_interpret():
     """The fully-fused single-kernel frontend (framing->window->FFT->
     filterbank->Sqrt64->NR->PCAN->log in one Pallas pass,
@@ -182,6 +185,8 @@ def test_clip_frontend_full_kernel_odd_length_interpret():
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow  # re-tiered r5: fast suite back under ~4 min (CLAUDE.md)
+# 18 s interpret-mode variant sweep; per-stage fast tests remain
 def test_fft_stage_variants_bit_identical_interpret():
     """The three radix-4 stage formulations (ref / rot / mxu,
     pallas_fft._stage_*) must agree element-for-element — the default is

@@ -154,6 +154,9 @@ def test_pretrain_resident_matches_streaming(tmp_path):
     )
 
 
+@pytest.mark.slow  # re-tiered r5: fast suite back under ~4 min (CLAUDE.md)
+# 169 s: the scanned-vs-per-step equivalence; the fast suite keeps
+# test_prefetch_and_resident_bit_identical as the pipeline smoke
 def test_pretrain_scanned_epoch_bit_identical_to_per_step(tmp_path):
     """The scanned-epoch resident program (build_fused_resident_epoch,
     scan_epoch=True default) must reproduce the per-step fused path
