@@ -31,6 +31,16 @@ class DetectorParams:
     target_id: int = 2
 
 
+def _next_true_table(mask: np.ndarray) -> np.ndarray:
+    """out[i] = smallest j >= i with mask[j], or n if none (len n+1)."""
+    n = mask.shape[0]
+    idxs = np.where(mask, np.arange(n, dtype=np.int64), np.int64(n))
+    out = np.full(n + 1, n, dtype=np.int64)
+    if n:
+        out[:n] = np.minimum.accumulate(idxs[::-1])[::-1]
+    return out
+
+
 def detect_all_thresholds(
     inferences: np.ndarray,  # (T, num_labels) softmax outputs per hop
     times_ms: np.ndarray,  # (T,) hop start times (int ms)
@@ -41,61 +51,74 @@ def detect_all_thresholds(
     """Returns {threshold: (found_words, found_words_w_confidences)} where
     found_words = [[label, time_ms], ...] — exactly the reference's replay
     output (calculate_streaming_accuracy, batch_streaming_analysis.py:140-177).
-    """
+
+    Two vectorization layers over the reference's per-threshold Python
+    replay: the sliding window average is closed-form (one cumsum + one
+    searchsorted giving every hop's window start), and the per-threshold
+    fire/reset automaton advances by JUMPS between state changes
+    (precomputed next-above/next-below tables + a searchsorted for the
+    suppression horizon) instead of visiting every hop — O(detections)
+    state steps, not O(hops). Semantics identical to the sequential
+    replay: unreliable hops (count < minimum_count or window span <
+    window/4) change no state; a target fires from the silence state with
+    no elapsed gate (time-since-last is inf there,
+    single_target_recognize_commands.py:187-191); from the target state a
+    reset needs score strictly below threshold AND suppression_ms elapsed
+    since the last fire. tests/test_detector.py pins equivalence against
+    a direct port of the sequential loop on randomized inputs."""
     inferences = np.asarray(inferences)
     times_ms = np.asarray(times_ms, dtype=np.int64)
     t_steps = inferences.shape[0]
-    thr = np.asarray(list(thresholds), dtype=np.float64)
-    n_thr = thr.shape[0]
-
-    # per-threshold detector state
-    prev_is_target = np.zeros(n_thr, dtype=bool)  # previous top label == target
-    prev_time = np.full(n_thr, -np.inf)
-
+    thr_list = [float(th) for th in thresholds]
     found: Dict[float, Tuple[List[List], List[List]]] = {
-        float(th): ([], []) for th in thr
+        th: ([], []) for th in thr_list
     }
+    if t_steps == 0:
+        return found
 
     window = params.average_window_duration_ms
     target = params.target_id
 
-    start = 0  # earliest index still inside the averaging window
-    run_sum = np.zeros(inferences.shape[1], dtype=np.float64)
-    count = 0
+    # window start per hop: the sequential trim advances start while
+    # times[start] < now - window, i.e. start = first index with
+    # times[start] >= now - window
+    starts = np.searchsorted(times_ms, times_ms - window, side="left")
+    counts = np.arange(t_steps, dtype=np.int64) - starts + 1
+    spans = times_ms - times_ms[starts]
+    reliable = (counts >= params.minimum_count) & (spans >= window / 4)
 
-    for ix in range(t_steps):
-        now = times_ms[ix]
-        run_sum += inferences[ix]
-        count += 1
-        time_limit = now - window
-        while time_limit > times_ms[start]:
-            run_sum -= inferences[start]
-            start += 1
-            count -= 1
+    cs = np.concatenate(
+        [[0.0], np.cumsum(inferences[:, target], dtype=np.float64)]
+    )
+    scores = (cs[1 : t_steps + 1] - cs[starts]) / counts
 
-        sample_duration = now - times_ms[start]
-        if count < params.minimum_count or sample_duration < window / 4:
-            continue  # unreliable: no state change (reference :132-141)
+    r_idx = np.nonzero(reliable)[0]
+    sc = scores[r_idx]
+    tms = times_ms[r_idx]
+    n = r_idx.shape[0]
 
-        score = run_sum[target] / count
-
-        above = score > thr
-        # reference: time_since_last_top = inf when previous top label is
-        # _silence_ (single_target_recognize_commands.py:187-191), so from the
-        # silence state a target fires immediately and a reset is free; from
-        # the target state transitions gate on suppression_ms.
-        elapsed_ok = (now - prev_time) > params.suppression_ms
-
-        fire = above & (~prev_is_target)  # since==inf in silence state
-        reset = prev_is_target & (score < thr) & elapsed_ok
-
-        prev_time = np.where(fire, float(now), prev_time)
-        prev_is_target = (prev_is_target & ~reset) | fire
-
-        for ti in np.nonzero(fire)[0]:
-            th = float(thr[ti])
-            found[th][0].append([target_name, int(now)])
-            found[th][1].append([target_name, int(now), float(score)])
+    for th in thr_list:
+        next_above = _next_true_table(sc > th)
+        next_below = _next_true_table(sc < th)
+        fw, fwc = found[th]
+        pos = 0
+        while True:
+            # silence state: the first above-threshold reliable hop fires
+            pos = next_above[pos]
+            if pos >= n:
+                break
+            now = int(tms[pos])
+            fw.append([target_name, now])
+            fwc.append([target_name, now, float(sc[pos])])
+            # target state: reset at the first hop strictly below the
+            # threshold AND past the suppression horizon
+            horizon = int(
+                np.searchsorted(tms, now + params.suppression_ms, side="right")
+            )
+            pos = next_below[max(pos + 1, horizon)]
+            if pos >= n:
+                break
+            pos += 1
 
     return found
 

@@ -175,3 +175,85 @@ def test_get_groundtruth_unsorted_input():
     dets = get_groundtruth(found, ["kw"], gt)
     kinds = sorted(d["groundtruth"] for d in dets)
     assert kinds == ["fn", "fp", "tp"]
+
+
+def _sequential_detect_all_thresholds(
+    inferences, times_ms, thresholds, params, target_name="target"
+):
+    """Direct port of the pre-round-5 sequential replay (one pass over
+    time, vectorized only across thresholds) — the behavioral spec the
+    jump-automaton detect_all_thresholds must match exactly."""
+    inferences = np.asarray(inferences)
+    times_ms = np.asarray(times_ms, dtype=np.int64)
+    thr = np.asarray(list(thresholds), dtype=np.float64)
+    prev_is_target = np.zeros(thr.shape[0], dtype=bool)
+    prev_time = np.full(thr.shape[0], -np.inf)
+    found = {float(th): ([], []) for th in thr}
+    window = params.average_window_duration_ms
+    start, count = 0, 0
+    run_sum = np.zeros(inferences.shape[1], dtype=np.float64)
+    for ix in range(inferences.shape[0]):
+        now = times_ms[ix]
+        run_sum += inferences[ix]
+        count += 1
+        while now - window > times_ms[start]:
+            run_sum -= inferences[start]
+            start += 1
+            count -= 1
+        if count < params.minimum_count or now - times_ms[start] < window / 4:
+            continue
+        score = run_sum[params.target_id] / count
+        above = score > thr
+        elapsed_ok = (now - prev_time) > params.suppression_ms
+        fire = above & ~prev_is_target
+        reset = prev_is_target & (score < thr) & elapsed_ok
+        prev_time = np.where(fire, float(now), prev_time)
+        prev_is_target = (prev_is_target & ~reset) | fire
+        for ti in np.nonzero(fire)[0]:
+            th = float(thr[ti])
+            found[th][0].append([target_name, int(now)])
+            found[th][1].append([target_name, int(now), float(score)])
+    return found
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_jump_automaton_matches_sequential_replay(seed):
+    """Randomized differential test: bursty target-probability traces,
+    irregular hop times, all 19 thresholds."""
+    rng = np.random.default_rng(seed)
+    t = 4000
+    # bursty trace: smoothed square wave + noise, so scores cross every
+    # threshold repeatedly and suppression/reset paths all exercise
+    bursts = (rng.random(t // 50) > 0.6).repeat(50).astype(np.float64)
+    p = np.clip(bursts * 0.9 + rng.normal(0, 0.15, t), 0, 1)
+    inferences = np.stack([(1 - p) / 2, (1 - p) / 2, p], axis=1)
+    # 20 ms hops with occasional gaps (chunk boundaries / dropped frames)
+    gaps = np.where(rng.random(t) < 0.01, 400, 20)
+    times = np.cumsum(gaps).astype(np.int64)
+    thresholds = [round(0.05 * i, 2) for i in range(1, 20)]
+    params = DetectorParams()
+    got = detect_all_thresholds(inferences, times, thresholds, params)
+    want = _sequential_detect_all_thresholds(
+        inferences, times, thresholds, params
+    )
+    assert got.keys() == want.keys()
+    for th in thresholds:
+        assert got[float(th)][0] == want[float(th)][0], th
+        g, w = got[float(th)][1], want[float(th)][1]
+        assert len(g) == len(w)
+        for a, b in zip(g, w):
+            assert a[:2] == b[:2] and abs(a[2] - b[2]) < 1e-9, (th, a, b)
+
+
+def test_jump_automaton_empty_and_unreliable():
+    params = DetectorParams()
+    got = detect_all_thresholds(
+        np.zeros((0, 3)), np.zeros(0, np.int64), [0.5], params
+    )
+    assert got[0.5] == ([], [])
+    # all hops unreliable (fewer than minimum_count)
+    inf2 = np.tile([[0.0, 0.0, 1.0]], (2, 1))
+    got = detect_all_thresholds(
+        inf2, np.array([0, 20], np.int64), [0.5], params
+    )
+    assert got[0.5] == ([], [])
