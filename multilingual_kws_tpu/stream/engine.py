@@ -97,7 +97,10 @@ def stream_feature_chunks(
         return
     num_windows = int(np.ceil(audio_data_end / stride_samples))
 
-    i16 = np.clip(np.trunc(audio * 32768.0), -32768, 32767).astype(np.int32)
+    # int16 on the wire (the frontend converts to int32 in-graph,
+    # micro_jax.base_frames): halves the host->device bytes — ~0.25 s on a
+    # 10-min stream through the 47 MB/s tunnel (stream_cost_decomposition)
+    i16 = np.clip(np.trunc(audio * 32768.0), -32768, 32767).astype(np.int16)
 
     max_chunk_windows = max(
         1, int(flags.max_chunk_length_sec * sample_rate) // stride_samples
