@@ -83,13 +83,14 @@ def test_pretraining_distribution_parity(corpus):
     chance = 1.0 / (len(corpus["words"]) + 1)
     assert ref_final.mean() > 3 * chance, ref_final
     assert our_final.mean() > 3 * chance, our_final
-    # ...comparably. Band from the extended experiment's same-seed pair
-    # deltas (benchmarks/parity_pretrain.json, 8 ref / 6 ours seeds:
-    # ours-ref pairs -0.04, +0.34, +0.03, -0.02, +0.14, +0.03 -> mean
-    # +0.08, sd 0.14; this test replays seed 0, measured pair delta
-    # -0.042): 0.25 ~= mean + 1.2 sd of the pair distribution, tight
-    # enough to catch a gross divergence, loose enough for run-to-run
-    # TF-on-CPU nondeterminism.
+    # ...comparably. Band from the full 8v8 experiment's same-seed pair
+    # deltas (benchmarks/parity_pretrain.json, round 5: ours-ref pairs
+    # -0.04, +0.34, +0.03, -0.02, +0.14, +0.03, +0.25, -0.03 -> mean
+    # +0.087, sd 0.134; this test replays seed 0, measured pair delta
+    # -0.042): 0.25 ~= mean + 1.2 sd of the 8-pair distribution — the
+    # same-seed retrain variance of the reference stack alone is ±0.09
+    # (parity_pretrain.json reference_bn_calibrated recorded-vs-retrained),
+    # so a tighter band would flake on TF-on-CPU nondeterminism.
     assert abs(ref_final.mean() - our_final.mean()) < 0.25, (
         ref_final, our_final,
     )
