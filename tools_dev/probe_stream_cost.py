@@ -8,8 +8,8 @@ the same synthetic stream, fresh-dithered per timed call so no tunnel
 content/replay cache flatters a number:
 
   host_prep    — read_wav + trunc-quantize on host
-  upload_i32   — device_put of the int32 chunk (the shipped path's bytes)
-  upload_i16   — device_put of the same chunk as int16 (half the bytes)
+  upload_i32   — device_put of the chunk as int32 (the pre-round-5 wire)
+  upload_i16   — device_put as int16 (the shipped wire; half the bytes)
   base_frames  — stateless per-hop prefix (framing..Sqrt64), device
   stream_feats — full stream_features (adds window gather + NR/PCAN/log
                  suffix over (W, 49, 40))
@@ -143,11 +143,13 @@ def main():
 
     # ---- base_frames only (stateless prefix) -------------------------------
     base_jit = jax.jit(frontend.base_frames)
-    out = base_jit(dev_i32)  # compile
+    # int16 like the shipped engine wire (round 5) — keeps these stages on
+    # the same compiled signature the warm full pass already built
+    out = base_jit(dev_i16)  # compile
     jax.block_until_ready(out)
     audio2 = fresh_audio()
     d2 = jax.device_put(
-        np.clip(np.trunc(audio2 * 32768.0), -32768, 32767).astype(np.int32)
+        np.clip(np.trunc(audio2 * 32768.0), -32768, 32767).astype(np.int16)
     )
     d2.block_until_ready()
     t0 = time.perf_counter()
@@ -157,8 +159,8 @@ def main():
 
     # ---- full stream_features (gather + suffix) ----------------------------
     audio3 = fresh_audio()
-    i32_3 = np.clip(np.trunc(audio3 * 32768.0), -32768, 32767).astype(np.int32)
-    chunk = i32_3[: (num_windows - 1) * stride + clip_samples]
+    i16_3 = np.clip(np.trunc(audio3 * 32768.0), -32768, 32767).astype(np.int16)
+    chunk = i16_3[: (num_windows - 1) * stride + clip_samples]
     dev3 = jax.device_put(chunk)
     dev3.block_until_ready()
     t0 = time.perf_counter()
