@@ -133,12 +133,69 @@ def featurize_stream(
     return np.concatenate(outs, axis=0)
 
 
+def _batch_slicer(batch_size: int):
+    """One jitted (window-array, start) -> (batch_size, F, C, 1) program.
+
+    The start index is a TRACED operand (lax.dynamic_slice), so every batch
+    of a stream reuses ONE executable regardless of its offset. Through the
+    remote-tunnel deployment each distinct program submit costs ~10-30 ms;
+    the old per-batch `wdev[i:i+bs][..., None]` emitted a fresh static-slice
+    + reshape + predict trio per offset — 16 variable offsets cost 0.62 s
+    against ~0.1 s of model compute (benchmarks/
+    stream_cost_decomposition.json, predict_sync/predict_async)."""
+    import jax
+
+    def f(w, i):
+        return jax.lax.dynamic_slice_in_dim(w, i, batch_size, 0)[..., None]
+
+    return jax.jit(f)
+
+
+_BATCH_SLICERS: Dict[int, Callable] = {}
+
+
+def _predict_batches(predict_fn, wdev, batch_size: int) -> list:
+    """predict_fn over (n, F, C) windows in fixed-shape batches.
+
+    Device arrays are zero-padded to a batch multiple so predict_fn only
+    ever sees ONE batch shape (one compile, one executable fetch); the pad
+    rows' predictions are sliced off before they reach the caller. The
+    model is row-independent in eval mode, so real rows are bit-identical
+    to the variable-shape loop (tests/test_stream_e2e.py e2e-asserts the
+    detections). Host numpy windows keep the plain variable-tail loop."""
+    n_w = int(wdev.shape[0])
+    if n_w == 0:
+        return []
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        is_dev = isinstance(wdev, jax.Array)
+    except Exception:  # pragma: no cover - jax always present in this repo
+        is_dev = False
+    if not is_dev:
+        return [
+            predict_fn(wdev[i : i + batch_size][..., None])
+            for i in range(0, n_w, batch_size)
+        ]
+    nb = -(-n_w // batch_size)
+    pad = nb * batch_size - n_w
+    wpad = jnp.pad(wdev, ((0, pad), (0, 0), (0, 0))) if pad else wdev
+    slicer = _BATCH_SLICERS.setdefault(batch_size, _batch_slicer(batch_size))
+    preds = []
+    for bi in range(nb):
+        p = predict_fn(slicer(wpad, bi * batch_size))
+        keep = min(batch_size, n_w - bi * batch_size)
+        preds.append(p[:keep] if keep < batch_size else p)
+    return preds
+
+
 def calculate_streaming_accuracy(
     predict_fn: Callable[[np.ndarray], np.ndarray],
     flag_list: Sequence[StreamFlags],
     existing_inferences: Optional[np.ndarray] = None,
     frontend: Optional[MicroFrontendJax] = None,
-    batch_size: int = 2048,
+    batch_size: int = 8192,
     verbose: bool = True,
 ):
     """Reference calculate_streaming_accuracy (:50-179).
@@ -166,8 +223,7 @@ def calculate_streaming_accuracy(
         for wdev in stream_feature_chunks(
             audio, sample_rate, f0, frontend=frontend
         ):
-            for i in range(0, wdev.shape[0], batch_size):
-                preds.append(predict_fn(wdev[i : i + batch_size][..., None]))
+            preds.extend(_predict_batches(predict_fn, wdev, batch_size))
         import jax
         import jax.numpy as jnp
 

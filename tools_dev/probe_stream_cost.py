@@ -189,6 +189,22 @@ def main():
     results["predict_async_s"] = round(time.perf_counter() - t0, 3)
     assert np.allclose(inferences, inferences2, atol=1e-6)
 
+    # ---- the shipped engine path (round 5b): fixed-shape batches ------------
+    # pad to a batch multiple + ONE traced-offset dynamic-slice program, so
+    # every batch reuses the same two executables; default bs 8192 -> 4
+    # submits instead of 16 variable-shape slice+reshape+predict trios
+    from multilingual_kws_tpu.stream.engine import _predict_batches
+
+    bs_fix = 8192
+    _ = _predict_batches(predict, feats, bs_fix)  # compile pad/slice/model
+    jax.block_until_ready(_)
+    t0 = time.perf_counter()
+    preds_f = _predict_batches(predict, feats, bs_fix)
+    out3 = jnp.concatenate(preds_f, axis=0)
+    inferences3 = np.asarray(out3)
+    results["predict_fixedshape_s"] = round(time.perf_counter() - t0, 3)
+    assert np.allclose(inferences, inferences3, atol=1e-5)
+
     # ---- detector + stats ---------------------------------------------------
     times_ms = np.array(
         [int(off * 1000 / sr) for off in range(0, audio.shape[0] - clip_samples, stride)],
